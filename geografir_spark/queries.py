@@ -1,0 +1,199 @@
+"""Query registry: every engine operator exposed as a (spark_fn, oracle_sql)
+pair for the driver's correctness gate.
+
+Each entry's Spark callable takes ``(spark, sf_dir)`` and returns a
+DataFrame; the oracle entry is ANSI SQL DuckDB runs against the same parquet
+tables (pre-registered views). Column names are aliased identically on both
+sides — the driver sorts columns by name before hashing values.
+
+Determinism contract: every floating-point value that reaches an output (or
+an ORDER BY) is produced by the *same literal arithmetic expression* on both
+engines (IEEE-754 doubles, identical op order), so value hashes match
+exactly. Join/group keys are integer cell ids — never raw doubles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geografir_spark.geo import cells, geocode
+from geografir_spark.sources.pages import load_pages, load_table, pages_select_sql
+
+RES = 9          # default tiling resolution (512×512 world grid — mirrors the
+                 # reference's 512-px block constant, profiles.py:81)
+ROLLUP_RES = 4   # coarse resolution for hierarchy rollups
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None → rows-only check
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _geocoded_pages(spark: SparkSession, sf_dir: str, res: int = RES) -> DataFrame:
+    """pages → (lon, lat) → cell. Shared head of most geo queries."""
+    p = load_pages(spark, sf_dir)
+    p = geocode.with_geocode(p, "text", "page_id")
+    return cells.with_cell(p, "lon", "lat", res)
+
+
+def _geocoded_pages_oracle_base(res: int = RES) -> str:
+    """DuckDB SQL producing the identical geocoded+celled pages relation."""
+    base = pages_select_sql("documents")
+    q = cells.nested_sql(base, geocode.geocode_steps("text", "page_id", "duckdb"))
+    return cells.nested_sql(q, cells.encode_steps("lon", "lat", res))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: spatial tiling of the pages table
+# ---------------------------------------------------------------------------
+
+@register(
+    "pages_per_cell",
+    f"""
+    SELECT cell, count(*) AS n_pages, count(DISTINCT url) AS n_urls,
+           sum(n_chars) AS total_chars
+    FROM ({_geocoded_pages_oracle_base()})
+    GROUP BY cell
+    """,
+)
+def q_pages_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile the pages table: geocode → cell_encode(res 9) → per-cell stats.
+
+    The engine half of the north rule's "spatial-join + H3 tiling
+    throughput" metric. Whole pipeline is native Catalyst (regexp + bit
+    math + hash agg with partial aggregation map-side).
+    """
+    p = _geocoded_pages(spark, sf_dir)
+    return p.groupBy("cell").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "cell_rollup",
+    f"""
+    SELECT {cells.parent_sql('cell', ROLLUP_RES)} AS parent_cell,
+           count(*) AS n_pages
+    FROM ({_geocoded_pages_oracle_base()})
+    GROUP BY parent_cell
+    """,
+)
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup: fine cells → res-4 ancestors via pure bit math."""
+    p = _geocoded_pages(spark, sf_dir)
+    p = cells.with_parent(p, "cell", ROLLUP_RES)
+    return p.groupBy("parent_cell").agg(F.count("*").alias("n_pages"))
+
+
+@register(
+    "hot_cells_topk",
+    f"""
+    SELECT cell, count(*) AS n_pages
+    FROM ({_geocoded_pages_oracle_base()})
+    GROUP BY cell
+    ORDER BY n_pages DESC, cell ASC
+    LIMIT 20
+    """,
+)
+def q_hot_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k hot cells (skew histogram head). TakeOrderedAndProject —
+    no full sort. Ties broken by cell id for determinism."""
+    p = _geocoded_pages(spark, sf_dir)
+    return (
+        p.groupBy("cell")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("cell"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Envelope aggregation (lifted BoundingBox.from_geometry, reference
+# geometry/src/geometry/bounding_box.py:138-169: bbox == per-axis min/max)
+# ---------------------------------------------------------------------------
+
+_CUST_LON = geocode.fallback_lon_sql("c_custkey")
+_CUST_LAT = geocode.fallback_lat_sql("c_custkey")
+
+
+@register(
+    "nation_envelope",
+    f"""
+    SELECT n.n_nationkey AS nation_key, n.n_name AS nation_name,
+           min({_CUST_LON}) AS minx, min({_CUST_LAT}) AS miny,
+           max({_CUST_LON}) AS maxx, max({_CUST_LAT}) AS maxy,
+           count(*) AS n_points
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+)
+def q_nation_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation bounding box of customer points — st_envelope semantics
+    (per-axis coordinate min/max) lifted to a grouped aggregate, with a
+    broadcast dimension join."""
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        f"{_CUST_LON} AS lon",
+        f"{_CUST_LAT} AS lat",
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nation_key"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.min("lon").alias("minx"),
+            F.min("lat").alias("miny"),
+            F.max("lon").alias("maxx"),
+            F.max("lat").alias("maxy"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of-latest (windowed dedup — the url/warc_ts snapshot pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_latest_event",
+    """
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the as-of/url-snapshot-dedup pattern
+    (Window.partitionBy(key).orderBy(ts desc) + row_number = 1)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )

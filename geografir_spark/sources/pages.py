@@ -30,8 +30,8 @@ TABLES = (
 PAGES_COLS_SQL = {
     "page_id": "doc_id",
     "url": (
-        "('https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/d/'"
-        " || CAST(doc_id AS VARCHAR))"
+        "('https://site' || CAST(doc_id % 50 AS STRING) || '.example/d/'"
+        " || CAST(doc_id AS STRING))"
     ),
     "text": "text",
     "lang": "lang",

@@ -1,0 +1,87 @@
+"""Driver-mimicking correctness gate: run every queries() entry on Spark and
+its oracle_sql() on DuckDB at sf0.01; compare row count, column names, and
+exact values (order-insensitive).
+
+This is a strict superset of the driver's value-hash check — if this passes,
+CORRECTNESS_r{N}.json should be all-green.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    out = con.execute(sql).fetchdf()
+    con.close()
+    return out
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(name: str, spark_df, duck_df: pd.DataFrame):
+    got = _normalize(spark_df.toPandas())
+    exp = _normalize(duck_df)
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(exp[c]):
+            a, b = got[c].to_numpy(), exp[c].to_numpy()
+            same = (a == b) | (pd.isna(a) & pd.isna(b))
+            assert same.all(), f"{name}.{c}: float mismatch at {(~same).argmax()}: {a[(~same)][:3]} vs {b[(~same)][:3]}"
+        else:
+            pd.testing.assert_series_equal(got[c], exp[c], check_names=False, obj=f"{name}.{c}")
+
+
+def _all_query_names():
+    from geografir_spark.queries import QUERIES
+
+    return [n for n, q in QUERIES.items() if q.oracle is not None]
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_query_matches_oracle(spark, name):
+    from geografir_spark.queries import QUERIES
+
+    q = QUERIES[name]
+    _compare(name, q.fn(spark, SF_DIR), _duck(q.oracle))
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+    # hot path must be Python-free
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
