@@ -39,7 +39,17 @@ QUERIES: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: Optional[str]):
     def deco(fn):
-        QUERIES[name] = QueryDef(fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # ship the package to executor Python workers (no-op when
+            # already shipped or when running under spark-submit --py-files)
+            from geografir_spark.shipping import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QueryDef(wrapped, oracle)
         return fn
 
     return deco
@@ -167,6 +177,141 @@ def q_nation_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_points"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial joins: zones (axis-aligned rectangles derived from nation, so the
+# oracle can verify the join with plain comparisons — FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+PIP_RES = 6    # coarser grid for polygon cover (cells ≈ 5.6° × 2.8°)
+BBOX_RES = 4
+
+# zone edges end in .0005 so fallback points (3-decimal grid) can never sit
+# exactly on a boundary — inclusive-vs-exclusive edge semantics can't differ
+ZONE_MINX = "(CAST(n_nationkey % 7 AS DOUBLE) * 48.0 - 175.5005)"
+ZONE_MAXX = f"({ZONE_MINX} + 20.0 + CAST(n_nationkey % 3 AS DOUBLE) * 14.0)"
+ZONE_MINY = "(CAST(n_nationkey % 5 AS DOUBLE) * 33.0 - 82.5005)"
+ZONE_MAXY = f"({ZONE_MINY} + 15.0 + CAST(n_nationkey % 4 AS DOUBLE) * 9.0)"
+
+_ZONES_SQL = (
+    f"SELECT n_nationkey AS zone_id, {ZONE_MINX} AS minx, {ZONE_MINY} AS miny,"
+    f" {ZONE_MAXX} AS maxx, {ZONE_MAXY} AS maxy FROM nation"
+)
+_POINTS_SQL = (
+    f"SELECT c_custkey AS point_id, {_CUST_LON} AS lon, {_CUST_LAT} AS lat FROM customer"
+)
+
+
+def _zones_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zones with both bbox columns and a POLYGON wkt (the engine join runs
+    the real WKT→cover→refine path; the oracle uses the bbox columns)."""
+    z = load_table(spark, sf_dir, "nation").selectExpr(
+        f"n_nationkey AS zone_id",
+        f"{ZONE_MINX} AS minx",
+        f"{ZONE_MINY} AS miny",
+        f"{ZONE_MAXX} AS maxx",
+        f"{ZONE_MAXY} AS maxy",
+    )
+    return z.selectExpr(
+        "*",
+        "concat('POLYGON ((', minx, ' ', miny, ', ', maxx, ' ', miny, ', ',"
+        " maxx, ' ', maxy, ', ', minx, ' ', maxy, ', ', minx, ' ', miny, '))')"
+        " AS geom_wkt",
+    )
+
+
+def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id", f"{_CUST_LON} AS lon", f"{_CUST_LAT} AS lat"
+    )
+
+
+@register(
+    "pip_zone_counts",
+    f"""
+    WITH zones AS ({_ZONES_SQL}), pts AS ({_POINTS_SQL})
+    SELECT z.zone_id AS zone_id, count(*) AS n_points, sum(p.point_id) AS sum_ids
+    FROM pts p JOIN zones z
+      ON p.lon >= z.minx AND p.lon <= z.maxx
+     AND p.lat >= z.miny AND p.lat <= z.maxy
+    GROUP BY z.zone_id
+    """,
+)
+def q_pip_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join (cover cells → equi-join → full-cell
+    skip + exact even-odd refine), aggregated per zone."""
+    from geografir_spark.operators.pip_join import spatial_join_pip
+
+    pts = cells.with_cell(_points_df(spark, sf_dir), "lon", "lat", PIP_RES)
+    zones = _zones_df(spark, sf_dir).drop("minx", "miny", "maxx", "maxy")
+    joined = spatial_join_pip(pts, zones, res=PIP_RES)
+    return joined.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids")
+    )
+
+
+@register(
+    "bbox_zone_pairs",
+    f"""
+    WITH z AS ({_ZONES_SQL})
+    SELECT a.zone_id AS zone_a, b.zone_id AS zone_b
+    FROM z a JOIN z b
+      ON a.zone_id < b.zone_id
+     AND a.minx <= b.maxx AND b.minx <= a.maxx
+     AND a.miny <= b.maxy AND b.miny <= a.maxy
+    """,
+)
+def q_bbox_zone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBox overlap self-join with reference-point dedup (no distinct)."""
+    from geografir_spark.operators.bbox_join import bbox_overlap_join
+
+    z = _zones_df(spark, sf_dir).drop("geom_wkt")
+    pairs = bbox_overlap_join(
+        z, z, res=BBOX_RES, extra_pred=F.col("zone_id_a") < F.col("zone_id_b")
+    )
+    return pairs.select(
+        F.col("zone_id_a").alias("zone_a"), F.col("zone_id_b").alias("zone_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN join (cell-ring expansion)
+# ---------------------------------------------------------------------------
+
+KNN_RES = 7
+KNN_K = 3
+_Q_LON = geocode.fallback_lon_sql("(n_nationkey * 131 + 7)")
+_Q_LAT = geocode.fallback_lat_sql("(n_nationkey * 181 + 11)")
+
+
+@register(
+    "knn_customers",
+    f"""
+    WITH qs AS (SELECT n_nationkey AS qid, {_Q_LON} AS qx, {_Q_LAT} AS qy FROM nation),
+         ts AS (SELECT c_custkey AS tid, {_CUST_LON} AS tx, {_CUST_LAT} AS ty FROM customer),
+         d AS (SELECT qid, tid,
+                      (((qx) - (tx)) * ((qx) - (tx))) + (((qy) - (ty)) * ((qy) - (ty))) AS dist
+               FROM qs CROSS JOIN ts),
+         r AS (SELECT qid, tid,
+                      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, tid ASC) AS knn_rank
+               FROM d)
+    SELECT qid, tid, knn_rank FROM r WHERE knn_rank <= {KNN_K}
+    """,
+)
+def q_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest customers per nation center via cell-ring expansion;
+    verified against the oracle's exact brute-force kNN."""
+    from geografir_spark.operators.knn import knn_join
+
+    qs = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS qid", f"{_Q_LON} AS qx", f"{_Q_LAT} AS qy"
+    )
+    ts = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS tid", f"{_CUST_LON} AS tx", f"{_CUST_LAT} AS ty"
+    )
+    out = knn_join(qs, ts, k=KNN_K, res=KNN_RES)
+    return out.select("qid", "tid", F.col("rank").alias("knn_rank"))
 
 
 # ---------------------------------------------------------------------------
