@@ -1,0 +1,332 @@
+"""CRS normalization + vendored coordinate transforms.
+
+Reference parity: ``ensure_crs`` mirrors geometry/src/geometry/crs.py:46,140-146
+(pass-through for already-normalized values; anything else parsed; failures
+raise ``CRSError("Invalid target CRS specification: ...")``). The reference
+delegates transforms to pyproj/PROJ; pyproj is NOT installed in this
+environment (verified absent), so the engine vendors ellipsoidal projection
+math from public formulas:
+
+- Transverse Mercator (UTM): Krüger series per Karney 2011 ("Transverse
+  Mercator with an accuracy of a few nanometers") — the standard 6th-order
+  flattening series, accurate to nanometers within UTM zones.
+- Albers Equal-Area Conic (EPSG:5070 CONUS): Snyder, "Map Projections — A
+  Working Manual" (USGS PP 1395), eqs. 14-1..14-21 + 3-16/3-18.
+- Web Mercator (EPSG:3857): spherical, by definition.
+
+NAD83 vs WGS84 datum shift is treated as zero (GRS80 ≈ WGS84 ellipsoid;
+sub-meter difference is below the reference's own test tolerance of 0.01,
+geometry/tests/test_geometry.py:153-155).
+
+All transforms are numpy-vectorized (used inside pandas-UDF kernels in
+geo.kernels / raster.conform).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class CRSError(ValueError):
+    pass
+
+
+class TransformError(Exception):
+    """Mirrors geometry/src/geometry/exceptions.py:1-2."""
+
+
+_EPSG_RE = re.compile(r"^(?:epsg|EPSG)\s*:\s*(\d+)$")
+_URN_RE = re.compile(r"^urn:ogc:def:crs:EPSG:[\d.]*:(\d+)$", re.IGNORECASE)
+
+
+def ensure_crs(crs: "str | int") -> str:
+    """Normalize a CRS spec to the canonical 'EPSG:<code>' authority string.
+
+    Accepted forms (mirroring CRS.from_user_input's common cases): int EPSG
+    code, 'EPSG:4326'/'epsg:4326', bare digits '4326', OGC URN. Already-
+    canonical strings pass through unchanged (the reference's identity
+    contract, crs.py:140-141).
+    """
+    if isinstance(crs, bool):
+        raise CRSError(f"Invalid target CRS specification: {crs}")
+    if isinstance(crs, int):
+        code = crs
+    elif isinstance(crs, str):
+        s = crs.strip()
+        m = _EPSG_RE.match(s) or _URN_RE.match(s)
+        if m:
+            code = int(m.group(1))
+        elif s.isdigit():
+            code = int(s)
+        else:
+            raise CRSError(f"Invalid target CRS specification: {crs}")
+    else:
+        raise CRSError(f"Invalid target CRS specification: {crs}")
+    if not (1000 <= code <= 99999):
+        raise CRSError(f"Invalid target CRS specification: {crs}")
+    return f"EPSG:{code}"
+
+
+def crs_equals(a: "str | int", b: "str | int") -> bool:
+    return ensure_crs(a) == ensure_crs(b)
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoids
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Ellipsoid:
+    a: float
+    f: float
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2.0 - self.f)
+
+    @property
+    def e(self) -> float:
+        return self.e2 ** 0.5
+
+    @property
+    def n(self) -> float:
+        return self.f / (2.0 - self.f)
+
+
+WGS84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
+GRS80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Krüger series, Karney 2011)
+# ---------------------------------------------------------------------------
+
+def _tm_series(n: float):
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    A = (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ])
+    return A, alpha, beta
+
+
+def tm_forward(lon, lat, *, lon0: float, k0: float, fe: float, fn: float, ellps: Ellipsoid):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = ellps.n
+    A_, alpha, _ = _tm_series(n)
+    A = ellps.a / (1 + n) * A_
+    e = ellps.e
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        xi = xi + alpha[j] * np.sin(2 * (j + 1) * xi_p) * np.cosh(2 * (j + 1) * eta_p)
+        eta = eta + alpha[j] * np.cos(2 * (j + 1) * xi_p) * np.sinh(2 * (j + 1) * eta_p)
+    return fe + k0 * A * eta, fn + k0 * A * xi
+
+
+def tm_inverse(x, y, *, lon0: float, k0: float, fe: float, fn: float, ellps: Ellipsoid):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = ellps.n
+    A_, _, beta = _tm_series(n)
+    A = ellps.a / (1 + n) * A_
+    e = ellps.e
+    xi = (y - fn) / (k0 * A)
+    eta = (x - fe) / (k0 * A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        xi_p = xi_p - beta[j] * np.sin(2 * (j + 1) * xi) * np.cosh(2 * (j + 1) * eta)
+        eta_p = eta_p - beta[j] * np.cos(2 * (j + 1) * xi) * np.sinh(2 * (j + 1) * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # conformal latitude χ = atan(τ') → geodetic φ via the standard series
+    # (Snyder PP1395 eq. 3-5), accurate to ~1e-8 degrees
+    chi = np.arctan(tau_p)
+    e2 = ellps.e2
+    e4, e6, e8 = e2**2, e2**3, e2**4
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic (Snyder PP1395)
+# ---------------------------------------------------------------------------
+
+def _albers_q(sphi, e, e2):
+    return (1 - e2) * (
+        sphi / (1 - e2 * sphi**2)
+        - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
+    )
+
+
+@dataclass(frozen=True)
+class AlbersParams:
+    lat1: float
+    lat2: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    ellps: Ellipsoid
+
+    def constants(self):
+        e, e2 = self.ellps.e, self.ellps.e2
+        s1, s2, s0 = (np.sin(np.radians(v)) for v in (self.lat1, self.lat2, self.lat0))
+        c1, c2 = (np.cos(np.radians(v)) for v in (self.lat1, self.lat2))
+        m1 = c1 / np.sqrt(1 - e2 * s1**2)
+        m2 = c2 / np.sqrt(1 - e2 * s2**2)
+        q1, q2, q0 = (_albers_q(s, e, e2) for s in (s1, s2, s0))
+        nn = (m1**2 - m2**2) / (q2 - q1)
+        C = m1**2 + nn * q1
+        rho0 = self.ellps.a * np.sqrt(C - nn * q0) / nn
+        return nn, C, rho0
+
+
+def albers_forward(lon, lat, p: AlbersParams):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e, e2, a = p.ellps.e, p.ellps.e2, p.ellps.a
+    nn, C, rho0 = p.constants()
+    q = _albers_q(np.sin(np.radians(lat)), e, e2)
+    rho = a * np.sqrt(C - nn * q) / nn
+    theta = nn * np.radians(lon - p.lon0)
+    return p.fe + rho * np.sin(theta), p.fn + rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(x, y, p: AlbersParams):
+    x = np.asarray(x, dtype=np.float64) - p.fe
+    y = np.asarray(y, dtype=np.float64) - p.fn
+    e, e2, a = p.ellps.e, p.ellps.e2, p.ellps.a
+    nn, C, rho0 = p.constants()
+    rho = np.sqrt(x**2 + (rho0 - y) ** 2)
+    theta = np.arctan2(x * np.sign(nn), (rho0 - y) * np.sign(nn))
+    q = (C - (rho * nn / a) ** 2) / nn
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (1 - e2 * s**2) ** 2 / (2 * np.cos(phi)) * (
+            q / (1 - e2)
+            - s / (1 - e2 * s**2)
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return p.lon0 + np.degrees(theta / nn), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Web Mercator (spherical by definition)
+# ---------------------------------------------------------------------------
+
+_R_MERC = 6378137.0
+
+
+def webmerc_forward(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R_MERC * np.radians(lon)
+    y = _R_MERC * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmerc_inverse(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_MERC)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry → (to_4326, from_4326) function pairs
+# ---------------------------------------------------------------------------
+
+_ALBERS_5070 = AlbersParams(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, GRS80)
+
+
+def _utm_params(code: int):
+    """UTM EPSG families: 326xx (WGS84 N), 327xx (WGS84 S), 269xx (NAD83 N)."""
+    if 32601 <= code <= 32660:
+        return dict(lon0=(code - 32600) * 6 - 183, k0=0.9996, fe=500000.0, fn=0.0, ellps=WGS84)
+    if 32701 <= code <= 32760:
+        return dict(lon0=(code - 32700) * 6 - 183, k0=0.9996, fe=500000.0, fn=10000000.0, ellps=WGS84)
+    if 26901 <= code <= 26923:
+        return dict(lon0=(code - 26900) * 6 - 183, k0=0.9996, fe=500000.0, fn=0.0, ellps=GRS80)
+    return None
+
+
+def get_transform(src: "str | int", dst: "str | int"):
+    """(x, y arrays) -> (x2, y2) vectorized transform, or raise TransformError.
+
+    Mirrors Geometry.to_crs's contract (geometry/src/geometry/geometry.py:
+    163-239): no-op when CRSs are equal (:226-227); construction failure
+    raises TransformError (:232-235).
+    """
+    s, d = ensure_crs(src), ensure_crs(dst)
+    if s == d:
+        return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+
+    def to4326(code: int):
+        if code == 4326:
+            return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+        if code == 3857:
+            return webmerc_inverse
+        if code == 5070:
+            return lambda x, y: albers_inverse(x, y, _ALBERS_5070)
+        utm = _utm_params(code)
+        if utm:
+            return lambda x, y: tm_inverse(x, y, **utm)
+        return None
+
+    def from4326(code: int):
+        if code == 4326:
+            return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+        if code == 3857:
+            return webmerc_forward
+        if code == 5070:
+            return lambda x, y: albers_forward(x, y, _ALBERS_5070)
+        utm = _utm_params(code)
+        if utm:
+            return lambda x, y: tm_forward(x, y, **utm)
+        return None
+
+    scode, dcode = int(s.split(":")[1]), int(d.split(":")[1])
+    f1, f2 = to4326(scode), from4326(dcode)
+    if f1 is None or f2 is None:
+        raise TransformError(
+            f"Unable to create transformer between {s} and {d}: unsupported CRS"
+        )
+
+    def xform(x, y):
+        lon, lat = f1(x, y)
+        return f2(lon, lat)
+
+    return xform

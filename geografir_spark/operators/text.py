@@ -1,0 +1,118 @@
+"""Text-analysis operators for the pages/documents corpus: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+These are the training-data-pipeline primitives the engine provides beyond
+the reference's surface (the reference has no text ops — absent under
+/root/reference/ — but the north_star input is Common-Crawl text, so a real
+deployment tiles *and* filters/scores pages in one pass).
+
+Each op is emitted per-dialect ("spark" | "duckdb") because the two SQL
+dialects diverge on list/regexp function names (split vs string_split,
+regexp_replace global-flag arg). Semantics are kept value-identical; the
+driver's oracle gate enforces it.
+"""
+
+from __future__ import annotations
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# tiny deterministic language lexicons (heuristic language-ID over the
+# sandbox's 5 langs; real deployments plug a fastText-style model in a
+# pandas UDF behind the same column contract)
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "que"),
+    "pt": ("o", "os", "um", "uma", "não", "são"),
+}
+
+
+def tokens_expr(text: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"split({text}, ' ')"
+    return f"string_split({text}, ' ')"
+
+
+def n_tokens_expr(text: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"size({tokens_expr(text, dialect)})"
+    return f"len({tokens_expr(text, dialect)})"
+
+
+def regexp_strip_expr(text: str, pattern: str, dialect: str) -> str:
+    """Remove all matches of pattern (global)."""
+    if dialect == "spark":
+        return f"regexp_replace({text}, '{pattern}', '')"
+    return f"regexp_replace({text}, '{pattern}', '', 'g')"
+
+
+def punct_ratio_expr(text: str, dialect: str) -> str:
+    """non-[a-z0-9 space] characters / total characters (0 for empty)."""
+    stripped = regexp_strip_expr(text, "[a-zA-Z0-9 ]", dialect)
+    return (
+        f"(CAST(length({stripped}) AS DOUBLE)"
+        f" / CAST(greatest(length({text}), 1) AS DOUBLE))"
+    )
+
+
+def _count_in_set_expr(text: str, words: tuple, dialect: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    toks = tokens_expr(text, dialect)
+    if dialect == "spark":
+        return f"size(filter({toks}, w -> w IN ({wl})))"
+    return f"len(list_filter({toks}, w -> w IN ({wl})))"
+
+
+def stopword_ratio_expr(text: str, dialect: str) -> str:
+    return (
+        f"(CAST({_count_in_set_expr(text, STOPWORDS, dialect)} AS DOUBLE)"
+        f" / CAST(greatest({n_tokens_expr(text, dialect)}, 1) AS DOUBLE))"
+    )
+
+
+def fingerprint_expr(text: str, dialect: str) -> str:
+    """64-bit-ish deterministic document fingerprint (hex). md5 agrees
+    byte-for-byte across both engines."""
+    return f"substr(md5({text}), 1, 16)"
+
+
+def hash60_expr(s: str, dialect: str) -> str:
+    """Shared 60-bit integer hash: first 15 hex chars of md5 as a BIGINT.
+    The cross-engine hash primitive for minhash/simhash (xxhash64 exists
+    only in Spark; DuckDB's hash() is engine-specific)."""
+    if dialect == "spark":
+        return f"CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def quality_exprs(text: str, dialect: str) -> dict[str, str]:
+    """Column set for the quality-score op (aliased identically on both
+    sides so the oracle hash matches)."""
+    n_tok = n_tokens_expr(text, dialect)
+    return {
+        "n_tokens": n_tok,
+        "n_chars_txt": f"length({text})",
+        "avg_token_len": (
+            f"(CAST(length({regexp_strip_expr(text, ' ', dialect)}) AS DOUBLE)"
+            f" / CAST(greatest({n_tok}, 1) AS DOUBLE))"
+        ),
+        "punct_ratio": punct_ratio_expr(text, dialect),
+        "stopword_ratio": stopword_ratio_expr(text, dialect),
+        "fingerprint": fingerprint_expr(text, dialect),
+    }
+
+
+def lang_id_expr(text: str, dialect: str) -> str:
+    """Marker-word-count language heuristic: the language with the most
+    marker hits wins; 'en' when nothing beats zero. Deterministic tie-break
+    by fixed evaluation order (de, fr, es, pt)."""
+    counts = {
+        lang: _count_in_set_expr(text, markers, dialect)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # greatest-count winner via chained CASE (order fixes ties)
+    g = f"greatest({', '.join(counts.values())})"
+    case = f"CASE WHEN {g} = 0 THEN 'en' "
+    for lang in ("de", "fr", "es", "pt"):
+        case += f"WHEN {counts[lang]} = {g} THEN '{lang}' "
+    return case + "ELSE 'en' END"

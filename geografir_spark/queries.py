@@ -318,6 +318,179 @@ def q_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # As-of-latest (windowed dedup — the url/warc_ts snapshot pattern)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis / similarity (training-data-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def _sql_query(spark: SparkSession, sf_dir: str, spark_sql: str, views: tuple = ("documents",)) -> DataFrame:
+    """Run generated Spark-dialect SQL against temp views of the sf tables."""
+    for v in views:
+        load_table(spark, sf_dir, v).createOrReplaceTempView(v)
+    return spark.sql(spark_sql)
+
+
+def _dedup_mod():
+    from geografir_spark.operators import dedup
+
+    return dedup
+
+
+@register(
+    "dedup_exact",
+    _dedup_mod().exact_dedup_sql("documents", "doc_id", "text", "duckdb"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup map: content hash → multiplicity + keeper id."""
+    from geografir_spark.operators import dedup
+
+    return _sql_query(
+        spark, sf_dir, dedup.exact_dedup_sql("documents", "doc_id", "text", "spark")
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    _dedup_mod().minhash_pairs_sql("documents", "doc_id", "text", "duckdb"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (16 hashes, 4 bands,
+    3-word shingles) — the full shingle→minhash→band→bucket-join pipeline.
+
+    The signature stage is persisted before banding: each doc's signature
+    feeds 4 band rows on both join sides, and without materialization the
+    optimizer re-inlines the (md5-per-shingle × 16 hash) computation into
+    every consumer (measured 65 s → ~3 s at sf0.1)."""
+    from geografir_spark.geo import cells
+    from geografir_spark.operators import dedup
+
+    # test parquets are single-row-group files (scan parallelism 1) — spread
+    # the signature compute across cores; production multi-file tables skip
+    # this (the scan is already split).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sig_steps = dedup.minhash_signature_exprs("text", "spark")
+    # band outputs keep non-"__" names so apply_steps retains them
+    sig_steps.append(
+        {n.lstrip("_"): e for n, e in dedup.band_sig_exprs().items()}
+    )
+    sigs = cells.apply_steps(docs, sig_steps).select(
+        "doc_id", *[f"band{b}" for b in range(4)]
+    ).persist()
+    band_rows = None
+    for b in range(4):
+        part = sigs.selectExpr(
+            "doc_id AS doc", f"{b} AS band_idx", f"band{b} AS sig"
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    a = band_rows.selectExpr("doc AS doc_a", "band_idx", "sig")
+    b_ = band_rows.selectExpr("doc AS doc_b", "band_idx AS band_idx_b", "sig AS sig_b")
+    pairs = a.join(
+        b_,
+        (F.col("band_idx") == F.col("band_idx_b"))
+        & (F.col("sig") == F.col("sig_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return pairs.select("doc_a", "doc_b").distinct()
+
+
+@register(
+    "dedup_simhash",
+    _dedup_mod().simhash_sql("documents", "doc_id", "text", "duckdb"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (bit-majority over token hashes)."""
+    from geografir_spark.operators import dedup
+
+    return _sql_query(
+        spark, sf_dir, dedup.simhash_sql("documents", "doc_id", "text", "spark")
+    )
+
+
+def _text_quality_sql(dialect: str) -> str:
+    from geografir_spark.operators import text as textops
+
+    cols = ", ".join(
+        f"{expr} AS {name}" for name, expr in textops.quality_exprs("text", dialect).items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+@register("text_quality", _text_quality_sql("duckdb"))
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, avg token length, punct
+    ratio, stopword ratio, fingerprint."""
+    return _sql_query(spark, sf_dir, _text_quality_sql("spark"))
+
+
+def _lang_id_sql(dialect: str) -> str:
+    from geografir_spark.operators import text as textops
+
+    return (
+        f"SELECT {textops.lang_id_expr('text', dialect)} AS lang_pred,"
+        f" count(*) AS n FROM documents GROUP BY lang_pred"
+    )
+
+
+@register("lang_id", _lang_id_sql("duckdb"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution over the corpus."""
+    return _sql_query(spark, sf_dir, _lang_id_sql("spark"))
+
+
+_ANN_K = 5
+_ANN_PROBES = 8
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+               WHERE vec_id < {_ANN_PROBES}),
+         t AS (SELECT vec_id AS neighbor_id, embedding AS tvec FROM embeddings),
+         d AS (SELECT probe_id, neighbor_id,
+                      list_cosine_similarity(pvec, tvec) AS c
+               FROM p CROSS JOIN t WHERE probe_id != neighbor_id),
+         r AS (SELECT probe_id, neighbor_id,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY c DESC, neighbor_id ASC) AS rank
+               FROM d)
+    SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= {_ANN_K}
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (exact ANN
+    baseline; JVM-native fold, no Python)."""
+    from geografir_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_PROBES).selectExpr(
+        "vec_id AS probe_id", "embedding AS pvec"
+    )
+    targets = emb.selectExpr("vec_id AS neighbor_id", "embedding AS tvec")
+    return cosine_topk(probes, targets, k=_ANN_K)
+
+
+@register("ann_lsh_topk", None)  # approximate — no SQL oracle (rows-only)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (random hyperplanes, bucket
+    equi-join + exact refine) — the 100 TB-scale ANN path."""
+    from geografir_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_PROBES).selectExpr(
+        "vec_id AS probe_id", "embedding AS pvec"
+    )
+    targets = emb.selectExpr("vec_id AS neighbor_id", "embedding AS tvec")
+    return lsh_bucketed_topk(probes, targets, k=_ANN_K, dim=64, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# As-of-latest (windowed dedup — the url/warc_ts snapshot pattern)
+# ---------------------------------------------------------------------------
+
 @register(
     "asof_latest_event",
     """

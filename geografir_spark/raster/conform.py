@@ -1,0 +1,174 @@
+"""``ra_conform_to`` — the reference's flagship raster kernel, distributed.
+
+Reference semantics (raster_array/src/raster_array/raster_array.py:158-220,
+pinned by the golden matrix raster_array/tests/test_raster_array.py:192-465):
+
+- output grid = reference tile's crs/width/height/transform;
+- output count = source count; nodata/dtype = source's unless overridden
+  (``target_nodata or src_nodata`` — the reference's Python-`or` quirk means
+  an override of 0 falls back, mirrored deliberately);
+- reproject+resample per band with per-band nodata masking (the
+  UNIFIED_SRC_NODATA="NO" behavior): source pixels equal to src nodata map
+  to out nodata;
+- mask merge (:212-218): out_mask = (out == out_nodata, NaN-aware) OR
+  ref.mask (numpy-broadcast across bands, so a 1-band reference masks every
+  output band); masked pixels burned to out nodata.
+
+The resampling kernel is vendored (rasterio/GDAL absent here): nearest-
+neighbor by mapping each target pixel center through [target affine] →
+[target CRS → source CRS transform] → [inverse source affine]. For the
+north-up affines the reference's tests use, this reproduces GDAL's nearest
+warp exactly.
+
+Distributed form: a src-tile×ref-tile pair join keyed by tile/cell id, then
+an Arrow-batched mapInPandas kernel per pair.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geografir_spark.geo import crs as crsmod
+from geografir_spark.raster.model import TILE_SCHEMA, mask_np, pixels_to_array
+
+
+def _invert_affine(t):
+    a, b, c, d, e, f = t
+    det = a * e - b * d
+    if det == 0:
+        raise ValueError("non-invertible affine transform")
+    ia, ib = e / det, -b / det
+    id_, ie = -d / det, a / det
+    ic = -(ia * c + ib * f)
+    if_ = -(id_ * c + ie * f)
+    return (ia, ib, ic, id_, ie, if_)
+
+
+def conform_np(
+    src: np.ndarray,
+    src_transform,
+    src_crs: str,
+    src_nodata: float,
+    ref_mask: np.ndarray,
+    ref_transform,
+    ref_crs: str,
+    ref_height: int,
+    ref_width: int,
+    target_nodata=None,
+    target_dtype=None,
+) -> tuple[np.ndarray, float, str]:
+    """Conform one (count, h, w) source array onto the reference grid.
+
+    Returns (out_array, out_nodata, out_dtype_name)."""
+    count = src.shape[0]
+    out_nodata = target_nodata or src_nodata  # reference's `or` semantics
+    out_dtype = np.dtype(target_dtype) if target_dtype is not None else src.dtype
+
+    # target pixel centers → target CRS coords
+    cols = np.arange(ref_width) + 0.5
+    rows = np.arange(ref_height) + 0.5
+    cgrid, rgrid = np.meshgrid(cols, rows)
+    a, b, c, d, e, f = ref_transform
+    x = a * cgrid + b * rgrid + c
+    y = d * cgrid + e * rgrid + f
+
+    # target CRS → source CRS
+    xform = crsmod.get_transform(ref_crs, src_crs)
+    sx, sy = xform(x.ravel(), y.ravel())
+
+    # source coords → source pixel indices (inverse affine, floor = nearest
+    # for center-sampled grids)
+    ia, ib, ic, id_, ie, if_ = _invert_affine(src_transform)
+    scol = np.floor(ia * sx + ib * sy + ic).astype(np.int64)
+    srow = np.floor(id_ * sx + ie * sy + if_).astype(np.int64)
+    src_h, src_w = src.shape[1], src.shape[2]
+    inbounds = (scol >= 0) & (scol < src_w) & (srow >= 0) & (srow < src_h)
+    scol_c = np.clip(scol, 0, src_w - 1)
+    srow_c = np.clip(srow, 0, src_h - 1)
+
+    out = np.empty((count, ref_height, ref_width), dtype=out_dtype)
+    src_mask = mask_np(src, src_nodata)
+    for bi in range(count):
+        vals = src[bi, srow_c, scol_c]
+        vmask = src_mask[bi, srow_c, scol_c] | ~inbounds
+        band = np.where(vmask, out_nodata, vals).reshape(ref_height, ref_width)
+        out[bi] = band.astype(out_dtype)
+
+    # mask merge (raster_array.py:212-218): ref mask broadcasts across bands
+    out_mask = mask_np(out, out_nodata)
+    merged = np.logical_or(ref_mask, out_mask)
+    out[merged] = out_nodata
+    return out, out_nodata, out.dtype.name
+
+
+def conform_tiles(
+    src_tiles: DataFrame,
+    ref_tiles: DataFrame,
+    on: str = "tile_id",
+    target_nodata=None,
+    target_dtype=None,
+) -> DataFrame:
+    """Distributed conform: join src and ref tiles on ``on`` (both in the
+    TILE_SCHEMA shape), run the kernel per pair. Output = conformed tiles in
+    TILE_SCHEMA with the reference's grid and the source's identity."""
+    ref = ref_tiles.selectExpr(
+        f"{on} AS __ref_key",
+        "crs AS __ref_crs",
+        "count AS __ref_count",
+        "width AS __ref_width",
+        "height AS __ref_height",
+        "dtype AS __ref_dtype",
+        "nodata AS __ref_nodata",
+        "transform AS __ref_transform",
+        "pixels AS __ref_pixels",
+    )
+    joined = src_tiles.join(ref, src_tiles[on] == ref["__ref_key"], "inner")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for _, row in pdf.iterrows():
+                src = pixels_to_array(
+                    row["pixels"], row["count"], row["height"], row["width"], row["dtype"]
+                )
+                ref_arr = pixels_to_array(
+                    row["__ref_pixels"], row["__ref_count"],
+                    row["__ref_height"], row["__ref_width"], row["__ref_dtype"],
+                )
+                ref_mask = mask_np(ref_arr, row["__ref_nodata"])
+                out, out_nodata, out_dtype = conform_np(
+                    src,
+                    tuple(row["transform"]),
+                    row["crs"],
+                    row["nodata"],
+                    ref_mask,
+                    tuple(row["__ref_transform"]),
+                    row["__ref_crs"],
+                    int(row["__ref_height"]),
+                    int(row["__ref_width"]),
+                    target_nodata=target_nodata,
+                    target_dtype=target_dtype,
+                )
+                recs.append(
+                    {
+                        "tile_id": row["tile_id"],
+                        "cell": row["cell"],
+                        "crs": row["__ref_crs"],
+                        "count": src.shape[0],
+                        "width": int(row["__ref_width"]),
+                        "height": int(row["__ref_height"]),
+                        "dtype": out_dtype,
+                        "nodata": float(out_nodata),
+                        "transform": list(row["__ref_transform"]),
+                        "pixels": out.astype(np.float64).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return joined.mapInPandas(kernel, schema=TILE_SCHEMA)

@@ -41,8 +41,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # local test files are single small parquets — split them finer so
+        # all cores get scan tasks. Production (100 TB, many files) keeps the
+        # 128m default: override with SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # constraint propagation infers isnotnull(...) predicates from join
+        # keys and pushes them below projection chains, re-inlining expensive
+        # expressions exponentially (each Morton spread step references its
+        # input twice → 2^k copies of the regexp geocode per inferred
+        # predicate). Measured 10-50× slowdown on the PIP join; disabling
+        # costs us nothing because engine join keys are always non-null by
+        # construction.
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        # NOTE: a 48g heap measured 7× SLOWER on allocation-heavy stages
+        # (regexp geocode) than 16g — oversized G1 young gen + fresh-page
+        # zeroing. Don't raise this without re-running bench.py.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,108 @@
+"""Skew handling + checkpoint/resume lineage tests."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    from geografir_spark.geo import cells
+
+    # 5000 rows in one hot res-9 cell (width 0.703°), jittered within it,
+    # 500 spread over others
+    hot = spark.range(5000).selectExpr(
+        "id AS page_id",
+        "0.36 + CAST(id % 100 AS DOUBLE) * 0.003 AS lon",
+        "0.06 + CAST(id % 80 AS DOUBLE) * 0.003 AS lat",
+    )
+    cold = spark.range(500).selectExpr(
+        "id + 10000 AS page_id",
+        "CAST((id % 300) - 150 AS DOUBLE) + 0.5 AS lon",
+        "CAST((id % 140) - 70 AS DOUBLE) + 0.5 AS lat",
+    )
+    return cells.with_cell(hot.unionByName(cold), "lon", "lat", 9)
+
+
+def test_salt_hot_cells(spark, skewed_df):
+    from geografir_spark.operators.skew import salt_hot_cells
+
+    salted = salt_hot_cells(
+        skewed_df, threshold=1000, n_salts=8, hash_col="page_id"
+    )
+    agg = salted.groupBy("cell", "salt").agg(F.count("*").alias("n"))
+    per_cell = agg.groupBy("cell").agg(
+        F.count("*").alias("n_salts"), F.sum("n").alias("n")
+    )
+    hot_row = per_cell.orderBy(F.desc("n")).first()
+    assert hot_row.n == 5000 and hot_row.n_salts == 8
+    # cold cells unsalted (exactly one salt bucket each)
+    assert per_cell.filter("n < 1000 AND n_salts != 1").count() == 0
+    # total row count preserved
+    assert salted.count() == 5500
+
+
+def test_split_hot_cells(spark, skewed_df):
+    from geografir_spark.geo import cells
+    from geografir_spark.operators.skew import split_hot_cells
+
+    split = split_hot_cells(skewed_df, threshold=1000, levels=2)
+    assert split.count() == 5500
+    res_counts = split.selectExpr(
+        f"{cells.res_sql('cell')} AS r"
+    ).groupBy("r").count().collect()
+    by_res = {r.r: r["count"] for r in res_counts}
+    assert by_res[11] == 5000  # hot rows re-encoded 2 levels finer
+    assert by_res[9] == 500    # cold rows untouched
+    # the fine cells are descendants of the original hot cell
+    hot_cell = skewed_df.groupBy("cell").count().orderBy(F.desc("count")).first().cell
+    parents = split.filter(f"({cells.res_sql('cell')}) = 11").selectExpr(
+        f"{cells.parent_sql('cell', 9)} AS p"
+    ).distinct().collect()
+    assert {r.p for r in parents} == {hot_cell}
+    # and the hot mass actually spread over multiple children
+    n_children = split.filter(f"({cells.res_sql('cell')}) = 11").select("cell").distinct().count()
+    assert n_children > 1
+
+
+def test_lineage_resume_and_verify(spark):
+    from geografir_spark.plans import lineage
+
+    out_dir = tempfile.mkdtemp(prefix="lineage_test_")
+    shutil.rmtree(out_dir)
+    df = spark.range(1000).selectExpr(
+        "id % 10 AS part_key", "id AS value", "id * 2 AS other"
+    )
+    # run 1: crash after 4 parts
+    with pytest.raises(RuntimeError, match="injected failure"):
+        lineage.run_resumable(df, out_dir, fail_after_parts=4)
+    lin1 = lineage.read_lineage(spark, out_dir)
+    assert lin1.count() == 4
+
+    # resume: must process exactly the remaining 6, skip the 4 done
+    r = lineage.run_resumable(df, out_dir)
+    assert r["processed"] == 6 and r["skipped"] == 4
+
+    # final output == the full input, and lineage verifies clean
+    out = lineage.read_output(spark, out_dir)
+    assert out.count() == 1000
+    assert lineage.verify_lineage(spark, out_dir).count() == 0
+
+    # idempotent: a third run does nothing
+    r2 = lineage.run_resumable(df, out_dir)
+    assert r2["processed"] == 0 and r2["skipped"] == 10
+
+    # corrupt a partition → verify flags exactly that part
+    import glob
+    import os
+
+    victim = glob.glob(f"{out_dir}/data/part_key=3/*.parquet")
+    for f in victim:
+        os.remove(f)
+    bad = lineage.verify_lineage(spark, out_dir).collect()
+    assert len(bad) == 1 and bad[0].part_key == 3
+    shutil.rmtree(out_dir)
