@@ -214,7 +214,7 @@ def scaling_worker(cores: int) -> None:
     spark = _make_spark(cores)
     if not os.path.exists(PAGES_DIR):
         synth_pages(spark, SF_DIR, PAGES_DIR)
-    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "16"))
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "32"))
     job_tile(spark)  # codegen compile at small size
     _steady(job_tile, spark, rep)  # C2 JIT warm at full size
     t0 = time.time()

@@ -484,7 +484,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id AS probe_id", "embedding AS pvec"
     )
     targets = emb.selectExpr("vec_id AS neighbor_id", "embedding AS tvec")
-    return lsh_bucketed_topk(probes, targets, k=_ANN_K, dim=64, n_planes=6)
+    return lsh_bucketed_topk(probes, targets, k=_ANN_K, dim=64, n_planes=4, n_tables=8)
 
 
 # ---------------------------------------------------------------------------
