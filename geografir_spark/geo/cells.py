@@ -109,6 +109,26 @@ def encode_steps(lon_expr: str, lat_expr: str, res: int, out: str = "cell") -> l
     return steps
 
 
+def encode_idx_steps(xi_expr: str, yi_expr: str, res: int, out: str = "cell") -> list[dict[str, str]]:
+    """Like encode_steps but from integer grid indices (already in
+    [0, 2^res)) instead of lon/lat."""
+    _check_res(res)
+    steps: list[dict[str, str]] = [
+        {"__xi": f"CAST({xi_expr} AS BIGINT)", "__yi": f"CAST({yi_expr} AS BIGINT)"}
+    ]
+    px, py = "__xi", "__yi"
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS):
+        steps.append(
+            {
+                f"__xs{i}": f"(({px} | ({px} << {sh})) & {mask})",
+                f"__ys{i}": f"(({py} | ({py} << {sh})) & {mask})",
+            }
+        )
+        px, py = f"__xs{i}", f"__ys{i}"
+    steps.append({out: f"((({px} | ({py} << 1)) << {RES_BITS}) | {res})"})
+    return steps
+
+
 def compact_steps(cell_expr: str, out_x: str = "__cx", out_y: str = "__cy") -> list[dict[str, str]]:
     """Step list recovering grid indices (xi, yi) from a cell id."""
     steps: list[dict[str, str]] = [

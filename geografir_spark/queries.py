@@ -319,6 +319,141 @@ def q_knn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Zonal statistics (raster↔vector)
+# ---------------------------------------------------------------------------
+
+ZONAL_RES = 4  # tile grid: res-4 cells (22.5° × 11.25°), 8×8 px per tile
+
+_ZONAL_CELL_STEPS = cells.encode_idx_steps("xi", "yi", ZONAL_RES)
+# synthetic deterministic tile grid xi,yi ∈ [5, 10]: every coordinate below
+# is an exact binary fraction (22.5, 11.25, 2.8125, 1.40625), so engine and
+# oracle doubles are bit-identical.
+_ZONAL_PIXEL_VALUE = (
+    "CASE WHEN i % 13 = 0 THEN -1.0 ELSE CAST(cell % 1000 AS DOUBLE) + i END"
+)
+_ZONAL_PX = "((-180.0 + xi * 22.5) + ((i % 8) + 0.5) * 2.8125)"
+_ZONAL_PY = (
+    "(((-90.0 + yi * 11.25) + 11.25)"
+    " - (CAST(floor(CAST(i AS DOUBLE) / 8.0) AS BIGINT) + 0.5) * 1.40625)"
+)
+
+
+@register(
+    "zonal_stats",
+    f"""
+    WITH zones AS ({_ZONES_SQL}),
+         grid AS (SELECT t1.xi, t2.yi
+                  FROM (SELECT unnest(range(5, 11)) AS xi) t1,
+                       (SELECT unnest(range(5, 11)) AS yi) t2),
+         cellt AS ({cells.nested_sql("SELECT xi, yi FROM grid", _ZONAL_CELL_STEPS)}),
+         px AS (SELECT cell, xi, yi, unnest(range(0, 64)) AS i FROM cellt),
+         pv AS (SELECT cell, {_ZONAL_PIXEL_VALUE} AS val,
+                       {_ZONAL_PX} AS pxx, {_ZONAL_PY} AS pyy
+                FROM px)
+    SELECT z.zone_id AS zone_id, count(*) AS n_pixels, sum(val) AS sum_val,
+           min(val) AS min_val, max(val) AS max_val
+    FROM pv p JOIN zones z
+      ON p.pxx >= z.minx AND p.pxx <= z.maxx
+     AND p.pyy >= z.miny AND p.pyy <= z.maxy
+    WHERE val != -1.0
+    GROUP BY z.zone_id
+    """,
+)
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector zonal stats: cell-aligned tiles equi-joined to zone
+    cover cells, Arrow-batched masked pixel kernel, per-zone agg. The oracle
+    recomputes the same stats from the closed-form tile definition."""
+    from geografir_spark.operators.bbox_join import cover_bbox_cells
+    from geografir_spark.raster.zonal import zonal_stats
+
+    grid = (
+        spark.range(5, 11).selectExpr("id AS xi")
+        .crossJoin(spark.range(5, 11).selectExpr("id AS yi"))
+    )
+    t = cells.apply_steps(grid, _ZONAL_CELL_STEPS)
+    tiles = t.selectExpr(
+        "cell AS tile_id",
+        "cell",
+        "'EPSG:4326' AS crs",
+        "CAST(1 AS INT) AS count",
+        "CAST(8 AS INT) AS width",
+        "CAST(8 AS INT) AS height",
+        "'float64' AS dtype",
+        "CAST(-1.0 AS DOUBLE) AS nodata",
+        "array(2.8125, 0.0, -180.0 + xi * 22.5, 0.0, -1.40625,"
+        " (-90.0 + yi * 11.25) + 11.25) AS transform",
+        f"transform(sequence(0, 63), i -> {_ZONAL_PIXEL_VALUE}) AS pixels",
+    )
+    zones = _zones_df(spark, sf_dir).drop("geom_wkt")
+    cover = cover_bbox_cells(zones, ZONAL_RES)
+    return zonal_stats(tiles, cover)
+
+
+# ---------------------------------------------------------------------------
+# Reprojection as a query (st_transform lifted; EPSG:3857 is closed-form SQL
+# on both engines, so the vendored transform is oracle-checkable end-to-end)
+# ---------------------------------------------------------------------------
+
+@register(
+    "transform_webmercator_envelope",
+    f"""
+    WITH pts AS ({_POINTS_SQL}),
+         cl AS (SELECT point_id, lon,
+                       least(greatest(lat, -85.0), 85.0) AS lat FROM pts),
+         m AS (SELECT point_id,
+                      6378137.0 * radians(lon) AS mx,
+                      6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)) AS my,
+                      point_id % 16 AS grp
+               FROM cl)
+    SELECT grp, count(*) AS n, min(mx) AS minx, min(my) AS miny,
+           max(mx) AS maxx, max(my) AS maxy
+    FROM m GROUP BY grp
+    """,
+)
+def q_transform_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_transform(4326→3857) + envelope agg. The engine path runs the
+    vendored numpy transform inside an Arrow batch (geo.crs.webmerc_forward);
+    the oracle recomputes the projection in closed-form SQL."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geografir_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    pts = _points_df(spark, sf_dir)
+
+    schema = T.StructType(
+        list(pts.schema.fields)
+        + [T.StructField("mx", T.DoubleType()), T.StructField("my", T.DoubleType())]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from geografir_spark.geo import crs as crsmod
+
+        xform = crsmod.get_transform(4326, 3857)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # web mercator is undefined at the poles — clamp like the oracle
+            lat = np.clip(pdf["lat"].to_numpy(), -85.0, 85.0)
+            mx, my = xform(pdf["lon"].to_numpy(), lat)
+            pdf = pdf.copy()
+            pdf["mx"], pdf["my"] = mx, my
+            yield pdf
+
+    m = pts.mapInPandas(kernel, schema=schema)
+    return m.selectExpr("*", "point_id % 16 AS grp").groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.min("mx").alias("minx"),
+        F.min("my").alias("miny"),
+        F.max("mx").alias("maxx"),
+        F.max("my").alias("maxy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup / text-analysis / similarity (training-data-pipeline operators)
 # ---------------------------------------------------------------------------
 
@@ -485,6 +620,240 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     targets = emb.selectExpr("vec_id AS neighbor_id", "embedding AS tvec")
     return lsh_bucketed_topk(probes, targets, k=_ANN_K, dim=64, n_planes=4, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage: grouping sets, window frames, set ops, jaccard refine
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_cell_lang",
+    f"""
+    WITH g AS (SELECT {cells.parent_sql('cell', ROLLUP_RES)} AS parent_cell, lang
+               FROM ({_geocoded_pages_oracle_base()}))
+    SELECT parent_cell, lang, count(*) AS n
+    FROM g GROUP BY CUBE (parent_cell, lang)
+    """,
+)
+def q_cube_cell_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: per-(cell, lang), per-cell, per-lang and grand totals
+    in one pass (cube → partial aggregation handles all levels map-side)."""
+    p = _geocoded_pages(spark, sf_dir)
+    p = cells.with_parent(p, "cell", ROLLUP_RES)
+    return p.cube("parent_cell", "lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "window_cumulative",
+    """
+    SELECT event_id, user_id,
+           sum(CAST(round(value * 100.0) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             AS seq
+    FROM events
+    """,
+)
+def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running frame aggregation per key. Summed in integer cents: engines
+    legitimately differ in float window accumulation order (segment-tree vs
+    sequential), so the exact-match contract demands integer arithmetic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "*", "CAST(round(value * 100.0) AS BIGINT) AS cents"
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_cents"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "active_customer_nations",
+    """
+    SELECT c_nationkey AS nation_key FROM customer
+    INTERSECT
+    SELECT c.c_nationkey AS nation_key
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def q_active_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT) over a join-derived side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = c.selectExpr("c_nationkey AS nation_key")
+    right = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .selectExpr("c_nationkey AS nation_key")
+    )
+    return left.intersect(right)
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT) — resume-style anti-join shape."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").selectExpr("o_custkey AS c_custkey")
+    return c.exceptAll(o).distinct()
+
+
+def _jaccard_sql(dialect: str) -> str:
+    """Exact word-set jaccard on same-source doc pairs (the post-LSH refine
+    verification op)."""
+    if dialect == "spark":
+        ta, tb = "array_distinct(split(a.text, ' '))", "array_distinct(split(b.text, ' '))"
+        inter = f"size(array_intersect({ta}, {tb}))"
+        uni = f"size(array_union({ta}, {tb}))"
+    else:
+        ta, tb = "list_distinct(string_split(a.text, ' '))", "list_distinct(string_split(b.text, ' '))"
+        inter = f"len(list_intersect({ta}, {tb}))"
+        uni = f"len(list_distinct(list_concat({ta}, {tb})))"
+    return f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {inter} AS n_common, {uni} AS n_union
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {inter} * 10 >= {uni} * 3
+    """
+
+
+@register("ngram_jaccard_pairs", _jaccard_sql("duckdb"))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set jaccard ≥ 0.3 on blocked (same-source) pairs —
+    integer-arithmetic threshold (inter*10 >= union*3) keeps the predicate
+    float-free on both engines."""
+    return _sql_query(spark, sf_dir, _jaccard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing + the byte-identical-text invariant
+# ---------------------------------------------------------------------------
+
+@register(
+    "html_text_invariant",
+    f"""
+    WITH pages AS ({pages_select_sql('documents')})
+    SELECT lang, count(*) AS n_pages, 0 AS n_mismatch,
+           sum(octet_length(encode('<html>' || text || '</html>'))) AS total_html_bytes
+    FROM pages GROUP BY lang
+    """,
+)
+def q_html_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the BASELINE input_hint invariant: build the html binary
+    column, decode text back through the Arrow kernel, count byte-level
+    mismatches (must be 0) and total payload bytes per lang."""
+    from geografir_spark.operators.multimodal import decode_text_from_html
+    from geografir_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    p = load_pages(spark, sf_dir).selectExpr(
+        "page_id", "lang", "text",
+        "CAST(concat('<html>', text, '</html>') AS BINARY) AS html",
+    )
+    d = decode_text_from_html(p, "html", "page_id")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("decoded_text") != F.col("text"), 1).otherwise(0)).alias("n_mismatch"),
+        F.sum(F.length(F.col("html"))).alias("total_html_bytes"),
+    )
+
+
+@register("binary_features", None)  # feature vectors — rows-only check
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary feature extraction (byte-histogram stand-in for media
+    decode): real schema/batching/aggregation over a binary column."""
+    from geografir_spark.operators.multimodal import extract_binary_features
+    from geografir_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    p = load_pages(spark, sf_dir).selectExpr(
+        "page_id", "CAST(concat('<html>', text, '</html>') AS BINARY) AS payload"
+    )
+    f = extract_binary_features(p)
+    return f.selectExpr(
+        "count(*) AS n", "sum(n_bytes) AS total_bytes",
+        "sum(byte_sum) AS total_byte_sum", "max(n_distinct_bytes) AS max_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Band tags (reference R23-R30) — inverted index as a distributed agg
+# ---------------------------------------------------------------------------
+
+# deterministic tag fixture mirroring generate_raster's rule
+# (raster_test_helpers.py:62-66): classification always, tree on even bands
+_TAG_COLORS = "red orange yellow green blue".split()
+_TAG_TREES = "pine maple oak birch cedar".split()
+
+
+@register(
+    "band_tags_invert",
+    """
+    WITH bands AS (
+      SELECT n.n_nationkey AS tile_id, b.band_index
+      FROM nation n,
+           (SELECT unnest(range(1, 6)) AS band_index) b
+    ),
+    rows_ AS (
+      SELECT tile_id, band_index, 'classification' AS tag_name,
+             ['red','orange','yellow','green','blue'][CAST((tile_id + band_index) % 5 AS INT) + 1] AS tag_value
+      FROM bands
+      UNION ALL
+      SELECT tile_id, band_index, 'tree' AS tag_name,
+             ['pine','maple','oak','birch','cedar'][CAST((tile_id * 2 + band_index) % 5 AS INT) + 1] AS tag_value
+      FROM bands WHERE band_index % 2 = 0
+    )
+    SELECT tile_id, tag_name, tag_value, max(band_index) AS band_index
+    FROM rows_ GROUP BY tile_id, tag_name, tag_value
+    """,
+)
+def q_band_tags_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BandTags.tags_by_band lifted: build map<int,map<string,string>> tag
+    columns, explode both map levels, invert with later-band-wins
+    (reference band_tags.py:129-172)."""
+    from geografir_spark.raster.tags import tags_by_band
+
+    colors = ", ".join(f"'{c}'" for c in _TAG_COLORS)
+    trees = ", ".join(f"'{t}'" for t in _TAG_TREES)
+    n = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS tile_id"
+    )
+    bands = n.crossJoin(
+        spark.range(1, 6).selectExpr("CAST(id AS INT) AS band_index")
+    )
+    tagged = bands.selectExpr(
+        "tile_id",
+        "band_index",
+        f"""map_from_arrays(
+              CASE WHEN band_index % 2 = 0 THEN array('classification', 'tree')
+                   ELSE array('classification') END,
+              CASE WHEN band_index % 2 = 0 THEN array(
+                     array({colors})[CAST((tile_id + band_index) % 5 AS INT)],
+                     array({trees})[CAST((tile_id * 2 + band_index) % 5 AS INT)])
+                   ELSE array(array({colors})[CAST((tile_id + band_index) % 5 AS INT)]) END
+            ) AS band_tags""",
+    )
+    tiles = tagged.groupBy("tile_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("band_index", "band_tags"))
+        ).alias("tags")
+    )
+    return tags_by_band(tiles, "tags", ["tile_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,18 @@ def pixels_to_array(row_pixels, count: int, height: int, width: int, dtype) -> n
     return arr.astype(np.dtype(dtype))
 
 
+def band_slice_expr(pixels_col: str, band_index: int, height_col: str = "height",
+                    width_col: str = "width") -> str:
+    """SQL expr: 1-indexed band slice of a band-major pixels array — the
+    columnar lift of RasterArray.band (raster_array.py:136-145, 1-based
+    contract pinned by tests/test_raster_array.py:165-169). Native Catalyst
+    ``slice`` (1-based), no UDF."""
+    if band_index < 1:
+        raise ValueError("band_index is 1-based (reference contract)")
+    start = f"(({band_index} - 1) * {height_col} * {width_col} + 1)"
+    return f"slice({pixels_col}, {start}, {height_col} * {width_col})"
+
+
 # ---------------------------------------------------------------------------
 # GeoTIFF/COG profile defaults (reference profiles.py:81-160) → writer options
 # ---------------------------------------------------------------------------

@@ -222,6 +222,17 @@ def _tile_row(tile_id, data, nodata, bounds=None):
     }
 
 
+def test_band_slice_expr(spark):
+    """R4 contract: 1-indexed, returns exactly one band's pixels."""
+    src = np.arange(24, dtype=np.float64).reshape((3, 2, 4))
+    df = spark.createDataFrame([_tile_row(1, src, -1)], model.TILE_SCHEMA)
+    for b in range(1, 4):
+        got = df.selectExpr(f"{model.band_slice_expr('pixels', b)} AS band").collect()[0].band
+        assert got == src[b - 1].ravel().tolist()
+    with pytest.raises(ValueError, match="1-based"):
+        model.band_slice_expr("pixels", 0)
+
+
 def test_conform_tiles_spark(spark):
     from geografir_spark.shipping import ensure_shipped
 
