@@ -884,3 +884,161 @@ def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape) — classic hash aggregation with exact
+# arithmetic: money is summed in integer cents so Spark's nondeterministic
+# partial-agg order cannot perturb double sums; every output double is a
+# single division of an exact integer (identical on both engines).
+# ---------------------------------------------------------------------------
+
+_PRICING_SQL = """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT)      AS q_c,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d_c,
+             CAST(round(l_tax * 100) AS BIGINT)           AS t_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(q_c) AS DOUBLE) / 100.0                        AS sum_qty,
+           CAST(sum(p_c) AS DOUBLE) / 100.0                        AS sum_base_price,
+           CAST(sum(p_c * (100 - d_c)) AS DOUBLE) / 10000.0        AS sum_disc_price,
+           CAST(sum(p_c * (100 - d_c) * (100 + t_c)) AS DOUBLE) / 1000000.0
+                                                                   AS sum_charge,
+           CAST(sum(q_c) AS DOUBLE) / (100.0 * count(*))           AS avg_qty,
+           CAST(sum(p_c) AS DOUBLE) / (100.0 * count(*))           AS avg_price,
+           CAST(sum(d_c) AS DOUBLE) / (100.0 * count(*))           AS avg_disc,
+           count(*) AS count_order
+    FROM c
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_SQL)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan-filter-project into a 4-group
+    hash agg (partial map-side + final). Predicate + the 8-column projection
+    push to the parquet scan; whole pipeline is codegen'd JVM (no UDFs).
+    The reference has no aggregation operator (absent; nearest is the
+    dict inversion in band_tags.py:129-172)."""
+    return _sql_query(spark, sf_dir, _PRICING_SQL, views=("lineitem",))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT) — reference has only in-memory set
+# union (band_tags.py:205-208); engine uses native distributed set ops.
+# ---------------------------------------------------------------------------
+
+_SET_OPS_CUTOFF = "2024-01-08 00:00:00"  # first crawl week
+
+_SET_OPS_SQL = f"""
+    SELECT user_id FROM (
+      SELECT user_id FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '{_SET_OPS_CUTOFF}'
+      INTERSECT
+      SELECT user_id FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '{_SET_OPS_CUTOFF}'
+    ) vc
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_SET_OPS_CUTOFF}'
+"""
+
+
+@register("engaged_non_buyers", _SET_OPS_SQL)
+def q_engaged_non_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both viewed and clicked in the first week but did not
+    purchase: INTERSECT (hash semi) then EXCEPT (hash anti) — both plan as
+    aggregated joins with partial dedup map-side, no row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(
+            (F.col("event_type") == t)
+            & (F.col("ts") < F.lit(_SET_OPS_CUTOFF).cast("timestamp_ntz"))
+        ).select("user_id")
+
+    return users("view").intersect(users("click")).subtract(users("purchase"))
+
+
+# ---------------------------------------------------------------------------
+# Interval (time-range) join — bucketed equi-join, operators/interval_join.py
+# ---------------------------------------------------------------------------
+
+_FOLLOWUP_SQL = """
+    SELECT e.event_id, count(f.fid) AS n_followups
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id AS fid, user_id AS fuser, ts AS fts FROM events) f
+      ON f.fuser = e.user_id
+     AND f.fts > e.ts
+     AND f.fts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+"""
+
+
+@register("error_followups", _FOLLOWUP_SQL)
+def q_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many events the same user produced in the next
+    10 minutes. Theta time-range join re-expressed as a bucketed equi-join
+    (operators/interval_join.py) — shuffled hash join on (user, time-bucket)
+    instead of an O(N×M) BroadcastNestedLoopJoin; exact integer-microsecond
+    refine. The as-of/interval category of SURVEY.md §2B."""
+    from geografir_spark.operators.interval_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select(
+        F.col("event_id").alias("fid"),
+        F.col("user_id"),
+        F.col("ts").alias("fts"),
+    )
+    pairs = interval_join(
+        errors, others,
+        keys=["user_id"], left_ts="ts", right_ts="fts",
+        lower_us=0, upper_us=10 * 60 * 1_000_000, how="left",
+    )
+    return pairs.groupBy("event_id").agg(F.count("fid").alias("n_followups"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs — the embedding leg of the dedup
+# suite (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_TAU = 0.42  # sits in a >=7e-4-wide gap of the cosine distribution
+                     # at both oracle SFs — float32-vs-float64 engine drift
+                     # (~1e-7) cannot flip pair membership
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_NEARDUP_TAU}
+    """,
+)
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= tau). Exact baseline:
+    broadcast self-join + JVM-native fold for the dot product (no Python).
+    Scale path: the random-hyperplane LSH bucketing in
+    operators/similarity.py prefilters candidates so the exact refine only
+    touches same-bucket pairs — same filter-refine shape as the PIP join."""
+    from geografir_spark.operators.similarity import _dot_expr, _norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("avec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bvec"))
+    j = F.broadcast(a).crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = (
+        f"({_dot_expr('avec', 'bvec')})"
+        f" / (greatest({_norm_expr('avec')} * {_norm_expr('bvec')}, 1e-300))"
+    )
+    return j.filter(F.expr(f"{cos} >= {_NEARDUP_TAU}")).select("a_id", "b_id")

@@ -1,0 +1,6 @@
+from geografir_spark.streaming.ingest import (  # noqa: F401
+    pages_stream,
+    run_available_now,
+    stream_cell_counts,
+    stream_dedup_latest,
+)

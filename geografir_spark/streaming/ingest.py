@@ -1,0 +1,121 @@
+"""Structured Streaming ingest: continuous tiling of arriving page batches.
+
+The reference has no streaming of any kind (absent: no matching code under
+``/root/reference/``), and the north rule's resumability requirement is met
+by batch + lineage (``plans/lineage.py``). This module adds the *continuous*
+ingest path a production crawl pipeline needs on top: new parquet files
+landing in a directory (the sandbox stand-in for an Iceberg/Kafka feed of
+WARC batches) are tiled incrementally with exactly-once file tracking via
+the streaming checkpoint — the same geocode→cell kernels as batch, so
+streamed results are row-identical to a batch run over the same files.
+
+Scale notes
+-----------
+- The per-microbatch plan is the batch flagship plan (regexp geocode + cell
+  bit math + hash agg) — whole-stage codegen, no Python on the hot path.
+- Watermarking bounds the window-agg state store: late pages beyond the
+  watermark are dropped instead of growing state without bound (at 10^12
+  rows, unbounded state is the first thing that dies).
+- ``dropDuplicatesWithinWatermark`` gives streaming url-dedup with bounded
+  state — the streaming sibling of the batch as-of pattern
+  (``queries.py:q_asof_latest_event``).
+- ``Trigger.AvailableNow`` drains the backlog in rate-limited microbatches
+  and stops — the deploy mode for catch-up reprocessing; a live deployment
+  drops the trigger and runs the identical code continuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geografir_spark.geo import cells, geocode
+from geografir_spark.sources.pages import PAGES_COLS_SQL
+
+# warc_ts synthesis: deterministic timestamp per page (2024-01-01 base +
+# one minute per page_id). The sandbox documents table has no timestamp;
+# production pages carry a real warc_ts and this projection is dropped.
+_WARC_TS_EXPR = "timestamp_seconds(1704067200 + page_id * 60)"
+
+
+def pages_stream(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming pages relation from a directory of documents parquet files.
+
+    Schema is inferred from the existing files (a production table gets it
+    from the catalog). ``maxFilesPerTrigger`` paces microbatches.
+    """
+    schema = spark.read.parquet(src_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return docs.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in PAGES_COLS_SQL.items()],
+    ).selectExpr("*", f"{_WARC_TS_EXPR} AS warc_ts")
+
+
+def stream_cell_counts(
+    pages: DataFrame,
+    *,
+    res: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed per-cell page counts over a streaming pages
+    relation: geocode → cell_encode → window(warc_ts) × cell hash agg.
+
+    Output columns: (win_start, win_end, cell, n_pages). State per key is
+    one count; watermark bounds the number of live windows.
+    """
+    p = geocode.with_geocode(pages, "text", "page_id")
+    p = cells.with_cell(p, "lon", "lat", res)
+    return (
+        p.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cell",
+            "n_pages",
+        )
+    )
+
+
+def stream_dedup_latest(
+    pages: DataFrame,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming url-dedup with bounded state: first occurrence of each url
+    within the watermark horizon passes, replays are dropped."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain the source backlog into parquet and stop (exactly-once per file
+    via the checkpoint's file log; re-running after new files arrive
+    processes only the new files — streaming's resume semantics)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .outputMode(output_mode)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

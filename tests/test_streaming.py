@@ -1,0 +1,130 @@
+"""Structured Streaming ingest: streamed tiling == batch tiling on the same
+files; checkpoint resume processes only newly-arrived files; watermarked
+streaming url-dedup drops replays.
+
+The reference has no streaming (absent under /root/reference/); these tests
+pin the engine's continuous-ingest path (geografir_spark/streaming/).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+RES = 6
+WINDOW = "1 hour"
+WATERMARK = "2 hours"
+
+
+def _write_doc_files(spark, dst, ranges, start_index=0):
+    """Write documents split into one parquet file per doc_id range, with
+    strictly increasing mtimes so the file source processes them in order
+    (warc_ts is monotone in doc_id — no late data across batches)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    os.makedirs(dst, exist_ok=True)
+    for i, (lo, hi) in enumerate(ranges, start=start_index):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = f"{dst}/__tmp_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(f"{tmp}/{src}", f"{dst}/batch_{i}.parquet")
+        shutil.rmtree(tmp)
+        mtime = time.time() - 100 + 10 * i
+        os.utime(f"{dst}/batch_{i}.parquet", (mtime, mtime))
+
+
+def _batch_expected(spark, src_dir):
+    """The batch-computed windowed cell counts, restricted to windows the
+    stream's final watermark (max warc_ts - 2h) has closed."""
+    from geografir_spark.geo import cells, geocode
+    from geografir_spark.sources.pages import PAGES_COLS_SQL
+    from geografir_spark.streaming.ingest import _WARC_TS_EXPR
+
+    pages = (
+        spark.read.parquet(src_dir)
+        .selectExpr(*[f"{e} AS {n}" for n, e in PAGES_COLS_SQL.items()])
+        .selectExpr("*", f"{_WARC_TS_EXPR} AS warc_ts")
+    )
+    p = geocode.with_geocode(pages, "text", "page_id")
+    p = cells.with_cell(p, "lon", "lat", RES)
+    agg = (
+        p.groupBy(F.window("warc_ts", WINDOW).alias("win"), "cell")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cell",
+            "n_pages",
+        )
+    )
+    wm = p.agg(
+        (F.max("warc_ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0]["wm"]
+    return agg.filter(F.col("win_end") <= F.lit(wm))
+
+
+def _rows(df):
+    return sorted(
+        (r["win_start"], r["win_end"], r["cell"], r["n_pages"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stream"))
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    _write_doc_files(spark, src, [(0, 200), (200, 400)])
+    return src, out, ckpt
+
+
+def test_stream_matches_batch_then_resumes(spark, stream_dirs):
+    from geografir_spark.streaming import (
+        pages_stream,
+        run_available_now,
+        stream_cell_counts,
+    )
+
+    src, out, ckpt = stream_dirs
+
+    sdf = stream_cell_counts(
+        pages_stream(spark, src), res=RES, window=WINDOW, watermark=WATERMARK
+    )
+    run_available_now(sdf, out_dir=out, checkpoint_dir=ckpt)
+    got = _rows(spark.read.parquet(out))
+    assert got == _rows(_batch_expected(spark, src))
+    assert len(got) > 0
+
+    # a new file arrives; re-running with the same checkpoint must process
+    # ONLY the new file (exactly-once) yet emit the correct newly-closed
+    # windows — including windows whose counts straddle old and new files.
+    _write_doc_files(spark, src, [(400, 500)], start_index=2)
+    sdf2 = stream_cell_counts(
+        pages_stream(spark, src), res=RES, window=WINDOW, watermark=WATERMARK
+    )
+    run_available_now(sdf2, out_dir=out, checkpoint_dir=ckpt)
+    got2 = _rows(spark.read.parquet(out))
+    assert got2 == _rows(_batch_expected(spark, src))
+    assert len(got2) > len(got)
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    from geografir_spark.streaming import (
+        pages_stream,
+        run_available_now,
+        stream_dedup_latest,
+    )
+
+    src, out, ckpt = f"{tmp_path}/src", f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    # batch_0 = docs [0, 100); batch_1 replays the same rows
+    _write_doc_files(spark, src, [(0, 100), (0, 100)])
+    sdf = stream_dedup_latest(pages_stream(spark, src), watermark=WATERMARK)
+    run_available_now(sdf, out_dir=out, checkpoint_dir=ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == 100
+    assert result.select("url").distinct().count() == 100
