@@ -1,0 +1,161 @@
+"""Pure-stdlib GeoTIFF codec: byte-level roundtrips, read-side coercion
+semantics mirroring the reference's from_raster matrix
+(raster_array/tests/test_raster_array.py:481-519), and the distributed
+binaryFile → mapInPandas → TILE_SCHEMA read path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geografir_spark.raster.geotiff import decode_geotiff, encode_geotiff
+
+TRANSFORM = (0.25, 0.0, -10.0, 0.0, -0.5, 48.0)  # north-up, non-square pixels
+
+
+def _arr(dtype, shape=(2, 5, 7), nodata=0):
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 100, size=shape).astype(dtype)
+    a[0, 0, 0] = nodata
+    a[-1, min(2, shape[1] - 1), min(3, shape[2] - 1)] = nodata
+    return a
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "uint16", "int32", "float32", "float64"])
+def test_roundtrip_dtypes(dtype):
+    a = _arr(dtype)
+    data = encode_geotiff(a, crs="EPSG:4326", transform=TRANSFORM, nodata=0)
+    out, meta = decode_geotiff(data)
+    np.testing.assert_array_equal(out, a)
+    assert out.dtype == np.dtype(dtype)
+    assert meta["crs"] == "EPSG:4326"
+    assert meta["transform"] == pytest.approx(TRANSFORM)
+    assert meta["nodata"] == 0
+    assert (meta["count"], meta["height"], meta["width"]) == a.shape
+
+
+def test_roundtrip_multi_tile_projected():
+    # array larger than the tile size → 4 tile planes per band, edge crop
+    a = _arr("int16", shape=(1, 70, 90))
+    data = encode_geotiff(
+        a, crs="EPSG:5070", transform=TRANSFORM, nodata=0, tile=64
+    )
+    out, meta = decode_geotiff(data)
+    np.testing.assert_array_equal(out, a)
+    assert meta["crs"] == "EPSG:5070"
+
+
+def test_band_subset_is_1_indexed():
+    a = _arr("int32", shape=(3, 4, 4))
+    data = encode_geotiff(a, crs="EPSG:4326", transform=TRANSFORM, nodata=0)
+    out, meta = decode_geotiff(data, band_index=2)
+    np.testing.assert_array_equal(out, a[1:2])
+    assert meta["count"] == 1
+    out2, _ = decode_geotiff(data, band_index=[3, 1])
+    np.testing.assert_array_equal(out2, a[[2, 0]])
+    with pytest.raises(TypeError, match="band_index must be an integer"):
+        decode_geotiff(data, band_index=[])
+
+
+def test_read_recode_nodata_and_dtype():
+    # reference semantics (raster_array.py:310-316): pixels equal to the
+    # source nodata become the target nodata AFTER the dtype cast
+    a = np.array([[[5, 0], [7, 0]]], dtype="int16")
+    data = encode_geotiff(a, crs="EPSG:4326", transform=TRANSFORM, nodata=0)
+    out, meta = decode_geotiff(data, target_nodata=-1.5, target_dtype="float32")
+    np.testing.assert_array_equal(
+        out, np.array([[[5.0, -1.5], [7.0, -1.5]]], dtype="float32")
+    )
+    assert meta["nodata"] == -1.5 and meta["dtype"] == "float32"
+
+
+def test_read_recode_nan_nodata():
+    a = np.array([[[1.5, np.nan], [np.nan, 4.0]]], dtype="float64")
+    data = encode_geotiff(a, crs="EPSG:4326", transform=TRANSFORM, nodata=np.nan)
+    out, meta = decode_geotiff(data, target_nodata=-9999.0)
+    np.testing.assert_array_equal(
+        out, np.array([[[1.5, -9999.0], [-9999.0, 4.0]]])
+    )
+    # invalid lattice combos raise exactly like the reference
+    with pytest.raises(ValueError):
+        decode_geotiff(data, target_nodata=np.nan, target_dtype="int16")
+
+
+def test_rotated_transform_rejected():
+    a = _arr("uint8", shape=(1, 2, 2))
+    with pytest.raises(ValueError, match="north-up"):
+        encode_geotiff(a, crs="EPSG:4326", transform=(1, 0.1, 0, 0, -1, 0), nodata=0)
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from geografir_spark.raster.io import read_geotiff_tiles, write_geotiff_tiles
+    from geografir_spark.raster.model import TILE_SCHEMA
+
+    rows = []
+    rng = np.random.RandomState(7)
+    for tid in range(6):
+        h, w = 5, 4
+        px = rng.randint(0, 50, size=2 * h * w).astype(float)
+        rows.append(
+            (
+                tid, 0, "EPSG:4326", 2, w, h, "int16", 0.0,
+                [0.1, 0.0, float(tid), 0.0, -0.1, 50.0],
+                px.tolist(),
+            )
+        )
+    df = spark.createDataFrame(rows, TILE_SCHEMA)
+    out_dir = str(tmp_path / "tiles")
+    write_geotiff_tiles(df, out_dir)
+
+    back = read_geotiff_tiles(spark, out_dir, cell_res=9)
+    got = {r["tile_id"]: r for r in back.collect()}
+    assert sorted(got) == list(range(6))
+    for orig in rows:
+        r = got[orig[0]]
+        assert r["crs"] == "EPSG:4326"
+        assert (r["count"], r["height"], r["width"]) == (2, 5, 4)
+        assert r["dtype"] == "int16"
+        assert list(r["transform"]) == pytest.approx(orig[8])
+        assert list(r["pixels"]) == pytest.approx(orig[9])
+        assert r["cell"] != 0  # cell derived from the tile origin
+    # decode is Arrow-batched (ArrowEvalPython/mapInPandas), never row-Python
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_flagship_file_pipeline(spark, tmp_path):
+    """The reference's flagship eager pipeline (SURVEY.md §3.1) end-to-end
+    through files: from_raster → conform_to → to_raster, distributed.
+    Golden: 4×4 int16 conformed onto a 2×2 grid → [[9,10],[13,14]]
+    (raster_array/tests/test_raster_array.py:192-212)."""
+    from geografir_spark.raster.conform import conform_tiles
+    from geografir_spark.raster.geotiff import decode_geotiff, encode_geotiff
+    from geografir_spark.raster.io import read_geotiff_tiles, write_geotiff_tiles
+
+    src = np.arange(1, 17, dtype="int16").reshape(1, 4, 4)
+    ref = np.ones((1, 2, 2), dtype="uint8")
+    src_dir, ref_dir, out_dir = (
+        str(tmp_path / d) for d in ("src", "ref", "out")
+    )
+    import os as _os
+
+    for d, arr, tf in (
+        (src_dir, src, (1.0, 0.0, 0.0, 0.0, -1.0, 4.0)),
+        (ref_dir, ref, (1.0, 0.0, 0.0, 0.0, -1.0, 2.0)),
+    ):
+        _os.makedirs(d)
+        with open(f"{d}/1.tif", "wb") as f:
+            f.write(encode_geotiff(arr, crs="EPSG:4326", transform=tf, nodata=0))
+
+    src_df = read_geotiff_tiles(spark, src_dir)
+    ref_df = read_geotiff_tiles(spark, ref_dir)
+    out = conform_tiles(src_df, ref_df)
+    write_geotiff_tiles(out, out_dir)
+
+    with open(f"{out_dir}/1.tif", "rb") as f:
+        arr, meta = decode_geotiff(f.read())
+    np.testing.assert_array_equal(arr, np.array([[[9, 10], [13, 14]]], dtype="int16"))
+    assert meta["transform"] == pytest.approx((1.0, 0.0, 0.0, 0.0, -1.0, 2.0))
+    assert meta["dtype"] == "int16" and meta["nodata"] == 0
