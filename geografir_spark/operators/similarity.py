@@ -3,14 +3,21 @@
 - ``cosine_topk``            exact brute-force top-k (the correctness
   baseline): probes × targets with a JVM-native fold for the dot product
   (F.aggregate/zip_with — no Python). O(P×T) — fine for small probe sets;
-  the scale path is below.
+  the scale paths are below.
 - ``lsh_bucketed_topk``      random-hyperplane LSH: each vector gets a
   b-bit signature (sign of dot with b deterministic pseudo-hyperplanes);
   candidates = same-bucket (or Hamming-adjacent) pairs, exact cosine refine
   on candidates only. Hyperplanes are derived from md5 of (plane, dim) —
   deterministic, no stored model.
+- ``ivf_topk``               IVF-Flat: a coarse quantizer (spherical
+  k-means trained on a deterministic hash-ordered sample, driver-side
+  numpy — how FAISS trains IVF too) partitions targets into inverted
+  lists; each probe scans only its ``n_probes`` nearest lists via a list-id
+  equi-join + exact cosine refine. Shuffle volume is |targets| + |probes|
+  × n_probes, vs LSH's n_tables× replication — the better path when a
+  training pass is acceptable.
 
-Both return (probe_id, neighbor_id, rank) with rank by (cosine desc,
+All return (probe_id, neighbor_id, rank) with rank by (cosine desc,
 neighbor_id) — integer outputs, so oracle hash-compare is immune to
 float-representation drift; ties are broken deterministically.
 """
@@ -156,6 +163,129 @@ def lsh_bucketed_topk(
         .filter(F.col(probe_id) != F.col(target_id))
         .select(probe_id, probe_vec, target_id, target_vec)
         .dropDuplicates([probe_id, target_id])
+    )
+    cand = cand.selectExpr(
+        "*",
+        f"({_dot_expr(probe_vec, target_vec)})"
+        f" / (greatest({_norm_expr(probe_vec)} * {_norm_expr(target_vec)}, 1e-300)) AS __cos",
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("__cos"), F.asc(target_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, target_id, "rank")
+    )
+
+
+def train_centroids_np(X: "np.ndarray", n_lists: int, n_iters: int = 8) -> "np.ndarray":
+    """Deterministic spherical k-means on a sample (driver-side numpy).
+
+    Init = evenly spaced rows of the (hash-ordered) sample; each iteration
+    assigns by max dot product against unit centroids and recomputes the
+    renormalized mean. Empty lists keep their previous centroid. Fully
+    deterministic: no RNG anywhere."""
+    X = np.asarray(X, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    n_lists = min(n_lists, len(Xn))
+    idx = np.linspace(0, len(Xn) - 1, n_lists).astype(np.int64)
+    C = Xn[idx].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-300:
+                    C[j] = v / n
+    return C
+
+
+def with_ivf_lists(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "np.ndarray",
+    *,
+    n_probes: int = 1,
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign each row its ``n_probes`` nearest inverted lists (one
+    Arrow-batched matmul against the broadcast centroid matrix); rows are
+    exploded when n_probes > 1. Deterministic ties: argsort is stable."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(list_col, T.IntegerType())]
+    )
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            sims = Xn @ C.T  # (N, L)
+            if n_probes == 1:
+                lists = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+            else:
+                p = min(n_probes, sims.shape[1])
+                # stable top-p by (-sim, list_id): deterministic probe order
+                lists = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
+            p = lists.shape[1]
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), p)].reset_index(drop=True)
+            rep[list_col] = lists.ravel()
+            yield rep
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def ivf_topk(
+    probes: DataFrame,
+    targets: DataFrame,
+    *,
+    k: int,
+    n_lists: int = 64,
+    n_probes: int = 8,
+    train_sample: int = 4096,
+    probe_id: str = "probe_id",
+    target_id: str = "neighbor_id",
+    probe_vec: str = "pvec",
+    target_vec: str = "tvec",
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat (coarse quantize → inverted-list
+    equi-join → exact cosine refine → per-probe window top-k).
+
+    Training: ``train_sample`` vectors taken deterministically by
+    xxhash64(id) order (TakeOrderedAndProject — a top-k, not a full sort),
+    clustered on the driver. At 100 TB the sample is still ~4k rows; the
+    broadcast centroid matrix is n_lists × dim doubles (a few hundred KB)."""
+    from pyspark.sql import functions as F
+
+    sample = (
+        targets.select(target_id, target_vec)
+        .orderBy(F.xxhash64(F.col(target_id)))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in sample[target_vec]], dtype=np.float64
+    )
+    C = train_centroids_np(X, n_lists)
+
+    tl = with_ivf_lists(
+        targets.select(target_id, target_vec), target_vec, C, n_probes=1,
+        list_col="__tl",
+    )
+    pl = with_ivf_lists(probes, probe_vec, C, n_probes=n_probes, list_col="__pl")
+    cand = (
+        pl.join(tl, pl["__pl"] == tl["__tl"], "inner")
+        .filter(F.col(probe_id) != F.col(target_id))
+        .select(probe_id, probe_vec, target_id, target_vec)
     )
     cand = cand.selectExpr(
         "*",

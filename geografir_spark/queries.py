@@ -622,6 +622,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(probes, targets, k=_ANN_K, dim=64, n_planes=4, n_tables=8)
 
 
+@register("ann_ivf_topk", None)  # approximate — no SQL oracle (rows-only)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate cosine top-k: spherical-kmeans coarse quantizer
+    (deterministic, driver-trained on a hash-ordered sample) → inverted-list
+    equi-join → exact refine. The training-pass ANN scale path; shuffle
+    volume |targets| + |probes|×n_probes vs LSH's n_tables× replication."""
+    from geografir_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _ANN_PROBES).selectExpr(
+        "vec_id AS probe_id", "embedding AS pvec"
+    )
+    targets = emb.selectExpr("vec_id AS neighbor_id", "embedding AS tvec")
+    return ivf_topk(probes, targets, k=_ANN_K, n_lists=32, n_probes=8)
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage: grouping sets, window frames, set ops, jaccard refine
 # ---------------------------------------------------------------------------

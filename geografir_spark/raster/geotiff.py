@@ -1,30 +1,36 @@
-"""Pure-stdlib GeoTIFF codec: tiled, deflate-compressed, GeoTIFF-tagged.
+"""Pure-stdlib GeoTIFF/COG codec: tiled, deflate-compressed, GeoTIFF-tagged.
 
 The reference does raster file I/O through rasterio/GDAL
 (``RasterArray.to_raster`` raster_array/src/raster_array/raster_array.py:222-241,
 ``from_raster`` :244-273). rasterio is not available in this environment, so
 the engine ships its own minimal TIFF 6.0 + GeoTIFF 1.1 codec — numpy + zlib
-only — honoring the reference's GTiff profile constants
-(512×512 tiles, deflate level 9, profiles.py:81-88):
+only — honoring the reference's GTiff/COG profile constants
+(512×512 tiles, deflate level 9, nearest overview resampling,
+profiles.py:81-117):
 
 - writer: little-endian classic TIFF, tiled layout, PlanarConfiguration=2
   (band-separate tile planes — the natural layout for the band-major tile
   rows of ``model.py``), Compression=8 (zlib/"Adobe" deflate, level 9),
   ModelPixelScale + ModelTiepoint + GeoKeyDirectory (EPSG code), GDAL-style
   ASCII nodata tag.
-- reader: full IFD parse, tile reassembly with edge-padding crop, band
-  subset / dtype cast / nodata re-code **on read** with the reference's
+- COG writer (``encode_cog``): same, plus an overview pyramid — chained
+  reduced-resolution IFDs (NewSubfileType=1), each level a deterministic
+  stride-2 nearest downsample (the reference's COG profile pins
+  ``overview_resampling=nearest``, profiles.py:103), generated until the
+  level fits in one tile (GDAL's default stop rule).
+- reader: full IFD-chain parse, tile reassembly with edge-padding crop,
+  band subset / dtype cast / nodata re-code **on read** with the reference's
   ``_from_datasetreader`` semantics (raster_array.py:277-327): pixels equal
   to the source nodata (NaN-aware) are rewritten to the output nodata after
-  an optional dtype cast.
+  an optional dtype cast. ``overview=k`` reads the k-th pyramid level
+  (transform re-derived by the level's decimation factor).
 
 Scope: north-up affine transforms only (rotation terms must be 0 — all
 reference fixtures and COG tiling layouts are north-up); classic (non-BigTIFF)
 offsets, which bounds one *file* at 4 GiB — at engine scale each file is one
-512² tile (≤ a few MiB), a million-file dataset is the normal case. COG
-extras (overview pyramids, ghost area) are not emitted; ``apply_cog_profile``
-in ``model.py`` still normalizes the option map for when a GDAL-backed writer
-is present.
+512² tile (≤ a few MiB), a million-file dataset is the normal case. GDAL's
+COG "ghost area" hint block is not emitted (it is an optimization hint, not
+part of TIFF/GeoTIFF conformance).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ TILE = 512          # profiles.py:81
 DEFLATE_LEVEL = 9   # profiles.py:82 / :88
 
 # TIFF tag ids
+_NEW_SUBFILE_TYPE = 254     # 1 = reduced-resolution (overview) image
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -88,50 +95,43 @@ def _epsg_of(crs: str) -> int:
     raise ValueError(f"codec requires an EPSG crs string, got {crs!r}")
 
 
-def encode_geotiff(
-    array: np.ndarray,
-    *,
-    crs: str,
-    transform: "tuple[float, ...]",
-    nodata: "int | float",
-    tile: int = TILE,
-) -> bytes:
-    """Encode a (count, height, width) array as tiled deflate GeoTIFF bytes."""
-    if array.ndim != 3:
-        raise ValueError(f"array must be 3-D (count, height, width), got {array.ndim}-D")
-    a, b, c, d, e, f = [float(v) for v in transform]
-    if b != 0.0 or d != 0.0:
-        raise ValueError("codec supports north-up transforms only (b == d == 0)")
+def _compress_tiles(array: np.ndarray, tile: int) -> "list[bytes]":
+    """Deflate tile planes: bands outer, tile rows inner (row-major per band)."""
     count, height, width = array.shape
-    dtype = array.dtype
     ntx, nty = math.ceil(width / tile), math.ceil(height / tile)
-
-    # compress tile planes: bands outer, tile rows inner (row-major per band)
     blobs: list[bytes] = []
     for bi in range(count):
         for ty in range(nty):
             for tx in range(ntx):
-                block = np.zeros((tile, tile), dtype=dtype)
+                block = np.zeros((tile, tile), dtype=array.dtype)
                 ys, xs = ty * tile, tx * tile
                 sub = array[bi, ys : ys + tile, xs : xs + tile]
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 blobs.append(zlib.compress(block.tobytes(), DEFLATE_LEVEL))
+    return blobs
 
-    epsg = _epsg_of(crs)
-    model_type = 2 if epsg in _GEOGRAPHIC_EPSG else 1
-    cs_key = _GEOGRAPHIC_TYPE if model_type == 2 else _PROJECTED_CS_TYPE
-    geokeys = [
-        (1, 1, 0, 2),               # KeyDirectoryVersion, revision, minor, count
-        (_GT_MODEL_TYPE, 0, 1, model_type),
-        (cs_key, 0, 1, epsg),
-    ]
-    geokey_shorts = [v for row in geokeys for v in row]
+
+def _image_entries(
+    array: np.ndarray,
+    blobs: "list[bytes]",
+    tile: int,
+    nodata: "int | float",
+    *,
+    geo: "tuple[str, tuple[float, ...]] | None",
+    overview: bool,
+) -> "list[tuple[int, int, int, object]]":
+    """TIFF IFD entries for one image (geo tags only when ``geo`` given)."""
+    count, _height, _width = array.shape
+    dtype = array.dtype
+    n_tiles = len(blobs)
     nodata_ascii = (f"{nodata}").encode() + b"\x00"
 
-    n_tiles = len(blobs)
-    entries: list[tuple[int, int, int, "bytes | int"]] = [
-        (_IMAGE_WIDTH, _T_LONG, 1, width),
-        (_IMAGE_LENGTH, _T_LONG, 1, height),
+    entries: list[tuple[int, int, int, object]] = []
+    if overview:
+        entries.append((_NEW_SUBFILE_TYPE, _T_LONG, 1, 1))
+    entries += [
+        (_IMAGE_WIDTH, _T_LONG, 1, array.shape[2]),
+        (_IMAGE_LENGTH, _T_LONG, 1, array.shape[1]),
         (_BITS_PER_SAMPLE, _T_SHORT, count,
          struct.pack(f"<{count}H", *([dtype.itemsize * 8] * count))),
         (_COMPRESSION, _T_SHORT, 1, 8),
@@ -140,23 +140,49 @@ def encode_geotiff(
         (_PLANAR_CONFIG, _T_SHORT, 1, 2),
         (_TILE_WIDTH, _T_SHORT, 1, tile),
         (_TILE_LENGTH, _T_SHORT, 1, tile),
-        (_TILE_OFFSETS, _T_LONG, n_tiles, None),      # filled below
+        (_TILE_OFFSETS, _T_LONG, n_tiles, None),      # filled at emit time
         (_TILE_BYTE_COUNTS, _T_LONG, n_tiles,
          struct.pack(f"<{n_tiles}I", *[len(x) for x in blobs])),
         (_SAMPLE_FORMAT, _T_SHORT, count,
          struct.pack(f"<{count}H", *([_sample_format(dtype)] * count))),
-        (_MODEL_PIXEL_SCALE, _T_DOUBLE, 3, struct.pack("<3d", a, -e, 0.0)),
-        (_MODEL_TIEPOINT, _T_DOUBLE, 6,
-         struct.pack("<6d", 0.0, 0.0, 0.0, c, f, 0.0)),
-        (_GEO_KEY_DIRECTORY, _T_SHORT, len(geokey_shorts),
-         struct.pack(f"<{len(geokey_shorts)}H", *geokey_shorts)),
         (_GDAL_NODATA, _T_ASCII, len(nodata_ascii), nodata_ascii),
     ]
+    if geo is not None:
+        crs, transform = geo
+        a, b, c, d, e, f = [float(v) for v in transform]
+        if b != 0.0 or d != 0.0:
+            raise ValueError("codec supports north-up transforms only (b == d == 0)")
+        epsg = _epsg_of(crs)
+        model_type = 2 if epsg in _GEOGRAPHIC_EPSG else 1
+        cs_key = _GEOGRAPHIC_TYPE if model_type == 2 else _PROJECTED_CS_TYPE
+        geokeys = [
+            (1, 1, 0, 2),               # KeyDirectoryVersion, revision, minor, count
+            (_GT_MODEL_TYPE, 0, 1, model_type),
+            (cs_key, 0, 1, epsg),
+        ]
+        geokey_shorts = [v for row in geokeys for v in row]
+        entries += [
+            (_MODEL_PIXEL_SCALE, _T_DOUBLE, 3, struct.pack("<3d", a, -e, 0.0)),
+            (_MODEL_TIEPOINT, _T_DOUBLE, 6,
+             struct.pack("<6d", 0.0, 0.0, 0.0, c, f, 0.0)),
+            (_GEO_KEY_DIRECTORY, _T_SHORT, len(geokey_shorts),
+             struct.pack(f"<{len(geokey_shorts)}H", *geokey_shorts)),
+        ]
+    return entries
 
-    # layout: header(8) | IFD | out-of-line values | tile data
-    ifd_offset = 8
+
+def _emit_segment(
+    entries: "list[tuple[int, int, int, object]]",
+    blobs: "list[bytes]",
+    base: int,
+    next_ifd: int,
+) -> bytes:
+    """Emit one image segment (IFD | out-of-line values | tile data) whose
+    IFD starts at absolute file offset ``base``. Segment size is independent
+    of ``base``/``next_ifd``, so callers may dry-run with base=0 to size it."""
+    n_tiles = len(blobs)
     ifd_size = 2 + 12 * len(entries) + 4
-    value_offset = ifd_offset + ifd_size
+    value_offset = base + ifd_size
     oversize: dict[int, int] = {}  # tag -> file offset of out-of-line value
     values_blob = b""
     for tag, typ, cnt, val in entries:
@@ -183,7 +209,6 @@ def encode_geotiff(
         oversize[_TILE_OFFSETS] = tile_offsets_pos
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
     out += struct.pack("<H", len(entries))
     for tag, typ, cnt, val in sorted(entries, key=lambda t: t[0]):
         size = _TYPE_SIZE[typ] * cnt
@@ -198,12 +223,121 @@ def encode_geotiff(
             else:
                 packed = struct.pack(f"<{_TYPE_FMT[typ]}", val).ljust(4, b"\x00")
                 out += struct.pack("<HHI", tag, typ, cnt) + packed
-    out += struct.pack("<I", 0)  # next-IFD = none
+    out += struct.pack("<I", next_ifd)
     out += values_blob
-    assert len(out) == data_start, (len(out), data_start)
+    assert base + len(out) == data_start, (base + len(out), data_start)
     for blob in blobs:
         out += blob
     return bytes(out)
+
+
+def _validate_3d(array: np.ndarray) -> None:
+    if array.ndim != 3:
+        raise ValueError(f"array must be 3-D (count, height, width), got {array.ndim}-D")
+
+
+def encode_geotiff(
+    array: np.ndarray,
+    *,
+    crs: str,
+    transform: "tuple[float, ...]",
+    nodata: "int | float",
+    tile: int = TILE,
+) -> bytes:
+    """Encode a (count, height, width) array as tiled deflate GeoTIFF bytes."""
+    _validate_3d(array)
+    blobs = _compress_tiles(array, tile)
+    entries = _image_entries(
+        array, blobs, tile, nodata, geo=(crs, transform), overview=False
+    )
+    return struct.pack("<2sHI", b"II", 42, 8) + _emit_segment(entries, blobs, 8, 0)
+
+
+def downsample2_nearest(array: np.ndarray) -> np.ndarray:
+    """One pyramid step: stride-2 nearest (top-left sample of each 2×2 cell).
+
+    Deterministic counterpart of the reference COG profile's
+    ``overview_resampling=nearest`` (profiles.py:103)."""
+    return array[:, ::2, ::2]
+
+
+def encode_cog(
+    array: np.ndarray,
+    *,
+    crs: str,
+    transform: "tuple[float, ...]",
+    nodata: "int | float",
+    tile: int = TILE,
+) -> bytes:
+    """Encode a COG: full-res IFD first, then chained overview IFDs
+    (NewSubfileType=1), stride-2 nearest per level, until a level fits in
+    one ``tile`` (GDAL's default overview stop rule)."""
+    _validate_3d(array)
+    levels = [array]
+    while max(levels[-1].shape[1], levels[-1].shape[2]) > tile:
+        nxt = downsample2_nearest(levels[-1])
+        if nxt.shape[1] == 0 or nxt.shape[2] == 0:
+            break
+        levels.append(nxt)
+
+    segments: list[tuple[list, list]] = []
+    for i, lvl in enumerate(levels):
+        blobs = _compress_tiles(lvl, tile)
+        entries = _image_entries(
+            lvl, blobs, tile, nodata,
+            geo=(crs, transform) if i == 0 else None,
+            overview=i > 0,
+        )
+        segments.append((entries, blobs))
+
+    sizes = [len(_emit_segment(e, b, 0, 0)) for e, b in segments]
+    bases = [8]
+    for s in sizes[:-1]:
+        bases.append(bases[-1] + s)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    for i, (entries, blobs) in enumerate(segments):
+        next_ifd = bases[i + 1] if i + 1 < len(segments) else 0
+        out += _emit_segment(entries, blobs, bases[i], next_ifd)
+    return bytes(out)
+
+
+def _parse_ifd(data: bytes, ifd_off: int) -> "tuple[dict[int, tuple], int]":
+    """Parse one IFD → (tags, next_ifd_offset or 0)."""
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    tags: dict[int, tuple] = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from("<HHI", data, ifd_off + 2 + 12 * i)
+        raw = data[ifd_off + 2 + 12 * i + 8 : ifd_off + 2 + 12 * i + 12]
+        tags[tag] = _read_entry_values(data, typ, cnt, raw)
+    (next_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n_entries)
+    return tags, next_off
+
+
+def _ifd_chain(data: bytes) -> "list[dict[int, tuple]]":
+    if data[:4] not in (b"II*\x00",):
+        raise ValueError("not a little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    chain = []
+    while ifd_off:
+        tags, ifd_off = _parse_ifd(data, ifd_off)
+        chain.append(tags)
+    return chain
+
+
+def cog_info(data: bytes) -> "list[dict]":
+    """Pyramid inventory: one dict per IFD (level 0 = full resolution)."""
+    out = []
+    for tags in _ifd_chain(data):
+        out.append(
+            {
+                "width": tags[_IMAGE_WIDTH][0],
+                "height": tags[_IMAGE_LENGTH][0],
+                "count": tags[_SAMPLES_PER_PIXEL][0],
+                "overview": bool(tags.get(_NEW_SUBFILE_TYPE, (0,))[0] & 1),
+            }
+        )
+    return out
 
 
 def _read_entry_values(data: bytes, typ: int, cnt: int, raw: bytes):
@@ -217,32 +351,38 @@ def _read_entry_values(data: bytes, typ: int, cnt: int, raw: bytes):
     return struct.unpack(f"<{cnt}{_TYPE_FMT[typ]}", buf)
 
 
+def _decode_nodata(tags: dict) -> "int | float":
+    nod_raw = tags.get(_GDAL_NODATA, b"\x00").split(b"\x00")[0].decode()
+    return float(nod_raw) if any(ch in nod_raw for ch in ".ena") else int(nod_raw)
+
+
 def decode_geotiff(
     data: bytes,
     *,
     band_index: "int | list[int] | None" = None,
     target_nodata: "int | float | None" = None,
     target_dtype: "str | np.dtype | None" = None,
+    overview: "int | None" = None,
 ) -> "tuple[np.ndarray, dict]":
-    """Decode GeoTIFF bytes → (array (count, height, width), metadata dict).
+    """Decode GeoTIFF/COG bytes → (array (count, height, width), metadata dict).
 
     ``band_index`` (1-based, int or list), ``target_dtype`` and
     ``target_nodata`` reproduce the reference's read-side coercions
     (raster_array.py:277-327): subset bands, cast, then re-code pixels equal
     to the source nodata (NaN-aware) as the output nodata.
+    ``overview``: None/0 reads full resolution; k reads the k-th pyramid
+    level, with the transform re-derived from the level's decimation factor
+    (geo tags live on IFD 0 only).
     Metadata keys: crs, count, width, height, dtype, nodata, transform.
     """
     from geografir_spark.raster.model import ensure_band_index, ensure_valid_nodata, mask_np
 
-    if data[:4] not in (b"II*\x00",):
-        raise ValueError("not a little-endian classic TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
-    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
-    tags: dict[int, tuple] = {}
-    for i in range(n_entries):
-        tag, typ, cnt = struct.unpack_from("<HHI", data, ifd_off + 2 + 12 * i)
-        raw = data[ifd_off + 2 + 12 * i + 8 : ifd_off + 2 + 12 * i + 12]
-        tags[tag] = _read_entry_values(data, typ, cnt, raw)
+    chain = _ifd_chain(data)
+    level = overview or 0
+    if level >= len(chain):
+        raise ValueError(f"overview {level} out of range (file has {len(chain)} levels)")
+    tags = chain[level]
+    base = chain[0]
 
     width, height = tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]
     count = tags[_SAMPLES_PER_PIXEL][0]
@@ -258,11 +398,16 @@ def decode_geotiff(
     offsets, counts_b = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
     ntx, nty = math.ceil(width / tw), math.ceil(height / th)
 
-    sx, sy, _ = tags[_MODEL_PIXEL_SCALE]
-    _, _, _, ox, oy, _ = tags[_MODEL_TIEPOINT]
+    sx, sy, _ = base[_MODEL_PIXEL_SCALE]
+    _, _, _, ox, oy, _ = base[_MODEL_TIEPOINT]
+    if level:
+        # overview pixels are `factor` base pixels wide (stride-2 per level,
+        # anchored at the top-left sample, so the origin is unchanged)
+        factor = 2 ** level
+        sx, sy = sx * factor, sy * factor
     transform = (sx, 0.0, ox, 0.0, -sy, oy)
 
-    gk = tags[_GEO_KEY_DIRECTORY]
+    gk = base[_GEO_KEY_DIRECTORY]
     epsg = None
     for i in range(gk[3]):
         key, _loc, _cnt, val = gk[4 + 4 * i : 8 + 4 * i]
@@ -270,8 +415,7 @@ def decode_geotiff(
             epsg = val
     crs = f"EPSG:{epsg}" if epsg else None
 
-    nod_raw = tags.get(_GDAL_NODATA, b"\x00").split(b"\x00")[0].decode()
-    src_nodata = float(nod_raw) if any(ch in nod_raw for ch in ".ena") else int(nod_raw)
+    src_nodata = _decode_nodata(tags if _GDAL_NODATA in tags else base)
 
     array = np.empty((count, height, width), dtype=dtype)
     per_band = ntx * nty

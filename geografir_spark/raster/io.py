@@ -31,20 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 from geografir_spark.raster.model import TILE_SCHEMA
 
 
-def write_geotiff_tiles(df: DataFrame, out_dir: str) -> None:
-    """Write each TILE_SCHEMA row as ``<out_dir>/<tile_id>.tif``."""
+def write_geotiff_tiles(df: DataFrame, out_dir: str, *, cog: bool = False) -> None:
+    """Write each TILE_SCHEMA row as ``<out_dir>/<tile_id>.tif``.
+
+    ``cog=True`` emits Cloud-Optimized layout: an overview pyramid of
+    chained reduced-resolution IFDs (stride-2 nearest per level, matching
+    the reference COG profile's overview_resampling=nearest,
+    profiles.py:103)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def _write_partition(rows) -> None:
-        from geografir_spark.raster.geotiff import encode_geotiff
+        from geografir_spark.raster.geotiff import encode_cog, encode_geotiff
 
+        encode = encode_cog if cog else encode_geotiff
         for r in rows:
             arr = (
                 np.asarray(r["pixels"], dtype=np.float64)
                 .reshape(r["count"], r["height"], r["width"])
                 .astype(np.dtype(r["dtype"]))
             )
-            data = encode_geotiff(
+            data = encode(
                 arr,
                 crs=r["crs"],
                 transform=tuple(r["transform"]),

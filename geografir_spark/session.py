@@ -62,6 +62,10 @@ def get_spark(
         # zeroing. Don't raise this without re-running bench.py.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table metadata (plans/layout.py) needs a metastore; keep
+        # derby + warehouse out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/geografir_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/geografir_derby")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

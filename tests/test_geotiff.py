@@ -87,6 +87,92 @@ def test_rotated_transform_rejected():
         encode_geotiff(a, crs="EPSG:4326", transform=(1, 0.1, 0, 0, -1, 0), nodata=0)
 
 
+def test_cog_overview_pyramid():
+    """COG: overview chain until a level fits one tile; each level is the
+    deterministic stride-2 nearest downsample (COG profile pins
+    overview_resampling=nearest, reference profiles.py:103)."""
+    from geografir_spark.raster.geotiff import cog_info, encode_cog
+
+    a = _arr("uint16", shape=(2, 700, 1100), nodata=0)
+    data = encode_cog(a, crs="EPSG:4326", transform=TRANSFORM, nodata=0, tile=256)
+    info = cog_info(data)
+    # 1100 → 550 → 275 → 138(≤256 stop): levels 0..3, overviews flagged
+    assert [(d["width"], d["height"]) for d in info] == [
+        (1100, 700), (550, 350), (275, 175), (138, 88)
+    ]
+    assert [d["overview"] for d in info] == [False, True, True, True]
+    assert all(d["count"] == 2 for d in info)
+
+    # full-res read is identity; plain (overview=None) read ignores overviews
+    out0, meta0 = decode_geotiff(data)
+    np.testing.assert_array_equal(out0, a)
+    assert meta0["transform"] == pytest.approx(TRANSFORM)
+
+    # overview k == a[:, ::2**k, ::2**k], transform scaled, origin unchanged
+    for k in (1, 2, 3):
+        outk, metak = decode_geotiff(data, overview=k)
+        np.testing.assert_array_equal(outk, a[:, :: 2**k, :: 2**k])
+        f = float(2**k)
+        assert metak["transform"] == pytest.approx(
+            (TRANSFORM[0] * f, 0.0, TRANSFORM[2], 0.0, TRANSFORM[4] * f, TRANSFORM[5])
+        )
+        assert metak["crs"] == "EPSG:4326" and metak["nodata"] == 0
+
+    with pytest.raises(ValueError, match="out of range"):
+        decode_geotiff(data, overview=4)
+
+
+def test_cog_small_array_has_no_overviews():
+    from geografir_spark.raster.geotiff import cog_info, encode_cog
+
+    a = _arr("int16")  # 5×7 ≪ 512 tile → single IFD
+    data = encode_cog(a, crs="EPSG:5070", transform=TRANSFORM, nodata=0)
+    assert len(cog_info(data)) == 1
+    out, meta = decode_geotiff(data)
+    np.testing.assert_array_equal(out, a)
+    assert meta["crs"] == "EPSG:5070"
+
+
+def test_cog_overview_read_coercions():
+    """Read-side band subset / dtype cast / nodata re-code apply on
+    overview reads too (same _from_datasetreader lattice)."""
+    from geografir_spark.raster.geotiff import encode_cog
+
+    a = np.zeros((2, 600, 600), dtype="int16")
+    a[:, ::2, ::2] = 7   # overview-1 sees all 7s
+    a[1, 0, 0] = 0       # one nodata pixel surviving into the overview
+    data = encode_cog(a, crs="EPSG:4326", transform=TRANSFORM, nodata=0, tile=256)
+    out, meta = decode_geotiff(
+        data, overview=1, band_index=2, target_nodata=-1.0, target_dtype="float32"
+    )
+    assert out.shape == (1, 300, 300)
+    assert out[0, 0, 0] == -1.0 and out[0, 0, 1] == 7.0
+    assert meta["dtype"] == "float32" and meta["nodata"] == -1.0
+
+
+def test_spark_cog_write_roundtrip(spark, tmp_path):
+    from geografir_spark.raster.geotiff import cog_info
+    from geografir_spark.raster.io import write_geotiff_tiles
+    from geografir_spark.raster.model import TILE_SCHEMA
+
+    h, w = 20, 30
+    px = np.arange(h * w, dtype=float)
+    df = spark.createDataFrame(
+        [(1, 0, "EPSG:4326", 1, w, h, "int32", -1.0,
+          [0.5, 0.0, 2.0, 0.0, -0.5, 9.0], px.tolist())],
+        TILE_SCHEMA,
+    )
+    out_dir = str(tmp_path / "cog")
+    write_geotiff_tiles(df, out_dir, cog=True)
+    with open(f"{out_dir}/1.tif", "rb") as f:
+        data = f.read()
+    # 30×20 with 512 tile → no overview needed, but still valid COG encode
+    assert len(cog_info(data)) == 1
+    arr, meta = decode_geotiff(data)
+    np.testing.assert_array_equal(arr, px.reshape(1, h, w).astype("int32"))
+    assert meta["nodata"] == -1.0
+
+
 def test_spark_write_read_roundtrip(spark, tmp_path):
     from pyspark.sql import functions as F  # noqa: F401
 
