@@ -298,3 +298,56 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, target_id, "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a_id < b_id) with cosine ≥ tau — exact, via one
+    Arrow-batched BLAS matmul per partition against the unit-normalized
+    full matrix (the broadcast side, same materialization as
+    F.broadcast of this table; ~2.5 MB per 5k×64-f64).
+
+    This replaces an O(pairs) interpreted `aggregate(zip_with(...))` fold
+    with U_batch @ A.T (measured 23 s → ~2 s on 12.5M pairs at sf0.1).
+    Float drift vs a sequential fold is summation-order only (~1e-15)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    A = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
+    )
+    A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+
+    schema = T.StructType(
+        [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
+    )
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            U = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]],
+                dtype=np.float64,
+            )
+            U /= np.maximum(np.linalg.norm(U, axis=1, keepdims=True), 1e-300)
+            S = U @ A.T  # (batch, N)
+            bids = b[id_col].to_numpy()
+            rows_i, cols_j = np.nonzero(S >= tau)
+            aa, bb = ids[cols_j], bids[rows_i]
+            m = aa < bb
+            yield pd.DataFrame(
+                {"a_id": aa[m].astype("int64"), "b_id": bb[m].astype("int64")}
+            )
+
+    return df.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, schema=schema
+    )

@@ -457,10 +457,24 @@ def q_transform_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / text-analysis / similarity (training-data-pipeline operators)
 # ---------------------------------------------------------------------------
 
-def _sql_query(spark: SparkSession, sf_dir: str, spark_sql: str, views: tuple = ("documents",)) -> DataFrame:
-    """Run generated Spark-dialect SQL against temp views of the sf tables."""
+def _sql_query(
+    spark: SparkSession,
+    sf_dir: str,
+    spark_sql: str,
+    views: tuple = ("documents",),
+    repartition: bool = False,
+) -> DataFrame:
+    """Run generated Spark-dialect SQL against temp views of the sf tables.
+
+    ``repartition=True`` spreads each view across cores first — the test
+    parquets are single-row-group files (scan parallelism 1), so map-heavy
+    per-document work (tokenize, md5) would otherwise run on one task.
+    Production multi-file tables don't need it (the scan is already split)."""
     for v in views:
-        load_table(spark, sf_dir, v).createOrReplaceTempView(v)
+        df = load_table(spark, sf_dir, v)
+        if repartition:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        df.createOrReplaceTempView(v)
     return spark.sql(spark_sql)
 
 
@@ -540,7 +554,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geografir_spark.operators import dedup
 
     return _sql_query(
-        spark, sf_dir, dedup.simhash_sql("documents", "doc_id", "text", "spark")
+        spark, sf_dir, dedup.simhash_sql("documents", "doc_id", "text", "spark"),
+        repartition=True,
     )
 
 
@@ -557,7 +572,7 @@ def _text_quality_sql(dialect: str) -> str:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, avg token length, punct
     ratio, stopword ratio, fingerprint."""
-    return _sql_query(spark, sf_dir, _text_quality_sql("spark"))
+    return _sql_query(spark, sf_dir, _text_quality_sql("spark"), repartition=True)
 
 
 def _lang_id_sql(dialect: str) -> str:
@@ -572,7 +587,7 @@ def _lang_id_sql(dialect: str) -> str:
 @register("lang_id", _lang_id_sql("duckdb"))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution over the corpus."""
-    return _sql_query(spark, sf_dir, _lang_id_sql("spark"))
+    return _sql_query(spark, sf_dir, _lang_id_sql("spark"), repartition=True)
 
 
 _ANN_K = 5
@@ -752,8 +767,30 @@ def _jaccard_sql(dialect: str) -> str:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set jaccard ≥ 0.3 on blocked (same-source) pairs —
     integer-arithmetic threshold (inter*10 >= union*3) keeps the predicate
-    float-free on both engines."""
-    return _sql_query(spark, sf_dir, _jaccard_sql("spark"))
+    float-free on both engines.
+
+    Tokenize-once shape: the distinct-token array and its size are computed
+    per DOCUMENT before the join (the oracle SQL recomputes them per PAIR —
+    semantically identical, O(pairs) slower; measured 105 s → ~8 s at
+    sf0.1). |A∪B| comes from |A|+|B|−|A∩B|, so each pair costs one hashed
+    intersect instead of intersect + union."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr(
+            "doc_id", "source", "array_distinct(split(text, ' ')) AS toks"
+        )
+        .withColumn("n_toks", F.expr("size(toks)"))
+    )
+    a = d.selectExpr("doc_id AS doc_a", "source", "toks AS ta", "n_toks AS na")
+    b = d.selectExpr("doc_id AS doc_b", "source AS sb", "toks AS tb", "n_toks AS nb")
+    j = a.join(b, (a["source"] == b["sb"]) & (F.col("doc_a") < F.col("doc_b")))
+    return (
+        j.withColumn("n_common", F.expr("size(array_intersect(ta, tb))"))
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        .filter(F.col("n_common") * 10 >= F.col("n_union") * 3)
+        .select("doc_a", "doc_b", "n_common", "n_union")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1047,14 +1084,7 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the random-hyperplane LSH bucketing in
     operators/similarity.py prefilters candidates so the exact refine only
     touches same-bucket pairs — same filter-refine shape as the PIP join."""
-    from geografir_spark.operators.similarity import _dot_expr, _norm_expr
+    from geografir_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("avec"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bvec"))
-    j = F.broadcast(a).crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    cos = (
-        f"({_dot_expr('avec', 'bvec')})"
-        f" / (greatest({_norm_expr('avec')} * {_norm_expr('bvec')}, 1e-300))"
-    )
-    return j.filter(F.expr(f"{cos} >= {_NEARDUP_TAU}")).select("a_id", "b_id")
+    return embedding_near_dup_pairs(emb, tau=_NEARDUP_TAU)
