@@ -205,6 +205,9 @@ def run_headline() -> tuple[dict, dict]:
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries that persist intermediates (minhash signatures) must not
+        # leak cache into later measurements
+        spark.catalog.clearCache()
 
     spark.stop()
     return timings, throughput

@@ -1088,3 +1088,58 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, tau=_NEARDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates (percentiles) and JSON extraction
+# ---------------------------------------------------------------------------
+
+_QUANTILE_SQL = """
+    SELECT lang,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@register("doc_length_quantiles", _QUANTILE_SQL)
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles — ordered-set aggregate
+    (percentile_disc WITHIN GROUP), the sort-based agg family the corpus
+    quality dashboard needs. discrete percentiles return actual elements
+    (no interpolation), so Spark and DuckDB agree bit-exactly; the same SQL
+    text runs on both engines. At scale this is one sort per (lang,
+    partial) — Spark computes it as a single shuffle-and-sort per group."""
+    return _sql_query(spark, sf_dir, _QUANTILE_SQL)
+
+
+_JSON_ORACLE_SQL = """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("json_props_stats", _JSON_ORACLE_SQL)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over a JSON payload column: semi-structured
+    extraction (get_json_object — JVM-side Jackson path eval, pushed into
+    the same whole-stage-codegen pass as the agg) + exact distinct users.
+    The JSON-function category of SURVEY.md §2B scalar functions."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
