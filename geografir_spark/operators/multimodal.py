@@ -112,3 +112,100 @@ def decode_text_from_html(
             yield pdf
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def frame_offsets(n_bytes: int, n_frames: int, frame_size: int) -> "list[int]":
+    """Deterministic evenly-spaced frame offsets over a payload: frame i of
+    n starts at floor(i * (n_bytes - frame_size) / max(n-1, 1)), clamped to
+    0 — the byte-level analog of sampling n frames from a video's timeline
+    (first and last frames always included)."""
+    span = max(n_bytes - frame_size, 0)
+    if n_frames == 1:
+        return [0]
+    return [span * i // (n_frames - 1) for i in range(n_frames)]
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    n_frames: int = 4,
+    frame_size: int = 1024,
+    binary_col: str = "payload",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Explode each media payload to ``n_frames`` frame rows:
+    (id, frame_idx, frame_offset, frame_bytes, features array<double>) — the
+    video frame-sampling plumbing. Frames are fixed-size byte windows here
+    (decode is stubbed); a deployment replaces the window slice with a
+    demuxer seek inside the SAME kernel, preserving schema/batch shape."""
+    schema = (
+        f"{id_col} bigint, frame_idx int, frame_offset bigint,"
+        " frame_bytes int, features array<double>"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col])
+                for i, off in enumerate(frame_offsets(len(payload), n_frames, frame_size)):
+                    frame = payload[off : off + frame_size]
+                    recs.append(
+                        (row[id_col], i, off, len(frame), fake_decode(frame).tolist())
+                    )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[id_col, "frame_idx", "frame_offset", "frame_bytes", "features"],
+            )
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def resize_nearest_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w) or (c, h, w) array — the real
+    image-resize kernel (pixel-center index mapping, the same rule as the
+    raster conform resampler). Works today on fake_decode feature maps and
+    unchanged on real decoded frames once a codec is plugged in."""
+    if img.ndim == 2:
+        img = img[None, :, :]
+        squeeze = True
+    elif img.ndim == 3:
+        squeeze = False
+    else:
+        raise ValueError(f"expected (h, w) or (c, h, w), got {img.ndim}-D")
+    _, h, w = img.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    out = img[:, ys[:, None], xs[None, :]]
+    return out[0] if squeeze else out
+
+
+def resize_frames(
+    df: DataFrame,
+    *,
+    out_h: int,
+    out_w: int,
+    features_col: str = "features",
+    id_cols: "tuple[str, ...]" = ("page_id", "frame_idx"),
+) -> DataFrame:
+    """Resize each frame's feature map (256-vector viewed as 16×16) to
+    (out_h, out_w) with the nearest kernel — the distributed resize stage:
+    id columns pass through, one Arrow batch per partition."""
+    ids_schema = ", ".join(f"{c} bigint" for c in id_cols)
+    schema = f"{ids_schema}, resized array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for _, row in pdf.iterrows():
+                v = np.asarray(row[features_col], dtype=np.float64)
+                side = int(np.sqrt(len(v)))
+                resized = resize_nearest_np(v.reshape(side, side), out_h, out_w)
+                recs.append(tuple(row[c] for c in id_cols) + (resized.ravel().tolist(),))
+            yield pd.DataFrame.from_records(recs, columns=[*id_cols, "resized"])
+
+    return df.mapInPandas(kernel, schema=schema)

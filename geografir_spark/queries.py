@@ -1143,3 +1143,27 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register("frame_samples", None)  # media plumbing — rows-only check
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling + resize over opaque binary payloads:
+    payload → 4 evenly-spaced frame windows → byte-histogram features →
+    nearest-resize 16×16 → 8×8 → per-frame-slot aggregate. The frame-sample
+    and resize stages of the multimodal pipeline (decode remains the
+    documented stub seam)."""
+    from geografir_spark.operators.multimodal import resize_frames, sample_frames
+
+    p = load_pages(spark, sf_dir).selectExpr(
+        "page_id", "CAST(concat('<html>', text, '</html>') AS BINARY) AS payload"
+    )
+    frames = sample_frames(p, n_frames=4, frame_size=256)
+    resized = resize_frames(frames, out_h=8, out_w=8)
+    return (
+        resized.selectExpr(
+            "frame_idx", "aggregate(resized, CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS mass"
+        )
+        .groupBy("frame_idx")
+        .agg(F.count("*").alias("n_frames"), F.sum("mass").alias("total_mass"))
+        .orderBy("frame_idx")
+    )
