@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the deterministic pure-numpy
+kernels — the invariants every Spark/DuckDB emission relies on. The
+reference tests only hand-picked goldens (SURVEY.md §5.1); these close the
+input-space gap for the engine's own keystone math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geografir_spark.geo import cells
+from geografir_spark.geo.wkt import bounds, parse_wkt, to_wkt
+
+LON = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+LAT = st.floats(min_value=-90.0, max_value=89.999999, allow_nan=False)
+RESOLUTION = st.integers(min_value=0, max_value=cells.MAX_RES)
+
+
+@given(st.integers(min_value=0, max_value=(1 << 31) - 1))
+def test_spread_compact_roundtrip(v):
+    a = np.asarray([v], dtype=np.int64)
+    assert cells._compact_np(cells._spread_np(a))[0] == v
+
+
+@given(LON, LAT, RESOLUTION)
+def test_encode_decode_consistency(lon, lat, res):
+    cell = int(cells.encode_np(np.asarray([lon]), np.asarray([lat]), res)[0])
+    xi, yi, r = cells.decode_np(np.asarray([cell]))
+    assert r[0] == res
+    assert xi[0] == cells.axis_index_np(np.asarray([lon]), res, lat=False)[0]
+    assert yi[0] == cells.axis_index_np(np.asarray([lat]), res, lat=True)[0]
+    # the cell's bounds contain the encoded point (up to the float grid snap
+    # that axis_index's floor performs; clip keeps edge points in-world)
+    minx, miny, maxx, maxy = (v[0] for v in cells.cell_bounds_np(np.asarray([cell])))
+    cw, ch = cells.cell_size(res)
+    assert minx - cw * 1e-9 <= lon <= maxx + cw * 1e-9
+    assert miny - ch * 1e-9 <= lat <= maxy + ch * 1e-9
+
+
+@given(LON, LAT, RESOLUTION, st.data())
+def test_parent_cell_contains_child(lon, lat, res, data):
+    pres = data.draw(st.integers(min_value=0, max_value=res))
+    cell = int(cells.encode_np(np.asarray([lon]), np.asarray([lat]), res)[0])
+    xi, yi, _ = cells.decode_np(np.asarray([cell]))
+    parent = int(
+        cells.encode_idx_np(
+            np.asarray([xi[0] >> (res - pres)]), np.asarray([yi[0] >> (res - pres)]), pres
+        )[0]
+    )
+    pminx, pminy, pmaxx, pmaxy = (
+        v[0] for v in cells.cell_bounds_np(np.asarray([parent]))
+    )
+    cminx, cminy, cmaxx, cmaxy = (v[0] for v in cells.cell_bounds_np(np.asarray([cell])))
+    eps = 1e-9
+    assert pminx - eps <= cminx and cmaxx <= pmaxx + eps
+    assert pminy - eps <= cminy and cmaxy <= pmaxy + eps
+
+
+@given(LON, LAT, st.integers(min_value=2, max_value=8),
+       st.integers(min_value=0, max_value=3))
+def test_ring_disk_invariants(lon, lat, res, k):
+    cell = int(cells.encode_np(np.asarray([lon]), np.asarray([lat]), res)[0])
+    disk = set(int(c) for c in cells.disk_np(cell, k))
+    rings = [set(int(c) for c in cells.ring_np(cell, j)) for j in range(k + 1)]
+    # rings partition the disk
+    assert set().union(*rings) == disk
+    assert sum(len(r) for r in rings) == len(disk)
+    # every ring-j cell is at chebyshev distance exactly j
+    xi0, yi0, _ = cells.decode_np(np.asarray([cell]))
+    for j, ring in enumerate(rings):
+        for c in ring:
+            xi, yi, r = cells.decode_np(np.asarray([c]))
+            assert r[0] == res
+            assert max(abs(int(xi[0]) - int(xi0[0])), abs(int(yi[0]) - int(yi0[0]))) == j
+
+
+COORD = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False,
+    allow_subnormal=False,
+)
+POINTS = st.lists(st.tuples(COORD, COORD), min_size=2, max_size=6)
+
+
+@given(POINTS)
+def test_wkt_linestring_roundtrip(pts):
+    wkt = "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+    g1 = parse_wkt(wkt)
+    g2 = parse_wkt(to_wkt(g1))
+    assert to_wkt(g1) == to_wkt(g2)
+    minx, miny, maxx, maxy = bounds(g1)
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    assert (minx, miny, maxx, maxy) == (min(xs), min(ys), max(xs), max(ys))
+
+
+@given(COORD, COORD)
+def test_wkt_point_roundtrip(x, y):
+    g = parse_wkt(f"POINT ({x!r} {y!r})")
+    assert to_wkt(parse_wkt(to_wkt(g))) == to_wkt(g)
+    assert bounds(g) == (x, y, x, y)
+
+
+_INT_DTYPES = ["uint8", "int16", "uint16", "int32", "uint32"]
+
+
+@given(st.sampled_from(_INT_DTYPES), st.integers(min_value=-(2**40), max_value=2**40))
+def test_nodata_lattice_int_dtypes(dtype, nodata):
+    from geografir_spark.raster.model import ensure_valid_nodata
+
+    info = np.iinfo(np.dtype(dtype))
+    if info.min <= nodata <= info.max:
+        assert ensure_valid_nodata(nodata, np.dtype(dtype)) == nodata
+    else:
+        with pytest.raises(ValueError):
+            ensure_valid_nodata(nodata, np.dtype(dtype))
+
+
+@given(st.sampled_from(_INT_DTYPES))
+def test_nodata_lattice_rejects_nan_and_fractions(dtype):
+    from geografir_spark.raster.model import ensure_valid_nodata
+
+    with pytest.raises(ValueError):
+        ensure_valid_nodata(float("nan"), np.dtype(dtype))
+    with pytest.raises(ValueError):
+        ensure_valid_nodata(0.5, np.dtype(dtype))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["uint8", "int16", "int32", "float32", "float64"]),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_geotiff_roundtrip_random(dtype, count, h, w, seed):
+    from geografir_spark.raster.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.RandomState(seed % (2**31))
+    a = rng.randint(0, 100, size=(count, h, w)).astype(dtype)
+    data = encode_geotiff(
+        a, crs="EPSG:4326", transform=(0.5, 0.0, -1.0, 0.0, -0.25, 9.0), nodata=0,
+        tile=16,
+    )
+    out, meta = decode_geotiff(data)
+    np.testing.assert_array_equal(out, a)
+    assert (meta["count"], meta["height"], meta["width"]) == (count, h, w)
