@@ -1167,3 +1167,79 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_frames"), F.sum("mass").alias("total_mass"))
         .orderBy("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way dimension join (TPC-H Q5 shape) and lag analytic
+# ---------------------------------------------------------------------------
+
+_REGION_REVENUE_SQL = """
+    SELECT r.r_name AS region_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_items,
+           count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey   = s.s_suppkey
+    GROUP BY r.r_name
+"""
+
+
+@register("region_supplier_revenue", _REGION_REVENUE_SQL)
+def q_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region through the region→nation→supplier→lineitem chain
+    (TPC-H Q5 shape): two broadcast dimension hops onto the fact scan, one
+    shuffle for the final agg. Money stays in integer cents inside the sum
+    (order-independent, exact) and converts to dollars once at the end —
+    the same exactness idiom as pricing_summary."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    cents = (
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    return (
+        j.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            (F.expr(f"CAST(sum({cents}) AS DOUBLE)") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+_GROWTH_SQL = """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS growth
+    FROM d
+"""
+
+
+@register("event_type_growth", _GROWTH_SQL)
+def q_event_type_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth per event type — the lag() analytic window
+    (SURVEY.md §2B window functions). Integer counts and deltas, null on
+    each partition's first day; one shuffle on event_type then an in-
+    partition sort for the frame."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    return d.withColumn("growth", F.col("n") - F.lag("n").over(w))
