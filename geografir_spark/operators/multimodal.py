@@ -62,18 +62,19 @@ def extract_binary_features(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.arange(256)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             recs = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[binary_col])
+            for rid, raw in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(raw)
                 hist = fake_decode(payload)
                 recs.append(
                     (
-                        row[id_col],
+                        rid,
                         len(payload),
-                        int(hist @ np.arange(256)),
+                        int(hist @ weights),
                         int((hist > 0).sum()),
                         hist.tolist(),
                     )
@@ -148,13 +149,11 @@ def sample_frames(
             if len(pdf) == 0:
                 continue
             recs = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[binary_col])
+            for rid, raw in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(raw)
                 for i, off in enumerate(frame_offsets(len(payload), n_frames, frame_size)):
                     frame = payload[off : off + frame_size]
-                    recs.append(
-                        (row[id_col], i, off, len(frame), fake_decode(frame).tolist())
-                    )
+                    recs.append((rid, i, off, len(frame), fake_decode(frame).tolist()))
             yield pd.DataFrame.from_records(
                 recs,
                 columns=[id_col, "frame_idx", "frame_offset", "frame_bytes", "features"],
@@ -201,11 +200,12 @@ def resize_frames(
             if len(pdf) == 0:
                 continue
             recs = []
-            for _, row in pdf.iterrows():
-                v = np.asarray(row[features_col], dtype=np.float64)
+            for vals in zip(*(pdf[c] for c in id_cols), pdf[features_col]):
+                *ids, feat = vals
+                v = np.asarray(feat, dtype=np.float64)
                 side = int(np.sqrt(len(v)))
                 resized = resize_nearest_np(v.reshape(side, side), out_h, out_w)
-                recs.append(tuple(row[c] for c in id_cols) + (resized.ravel().tolist(),))
+                recs.append(tuple(ids) + (resized.ravel().tolist(),))
             yield pd.DataFrame.from_records(recs, columns=[*id_cols, "resized"])
 
     return df.mapInPandas(kernel, schema=schema)
