@@ -135,6 +135,52 @@ def job_knn(spark, sf_dir: str) -> int:
     return knn_join(qs, ts, k=5, res=9).count()
 
 
+def _skewed_pages(spark, replicate: int = 8):
+    """Skew fixture: ~60% of rows land in ONE cell (cell 1), the rest spread
+    over 64k cells — the Common-Crawl geocoding concentration the north rule
+    calls out, amplified so the hot group dominates a single reducer."""
+    import pyspark.sql.functions as F
+
+    p = read_pages(spark)
+    if replicate > 1:
+        p = p.crossJoin(F.broadcast(spark.range(replicate))).withColumn(
+            "page_id", F.col("page_id") * replicate + F.col("id")
+        ).drop("id")
+    return p.selectExpr(
+        "page_id", "url", "length(text) AS n_chars",
+        "CASE WHEN page_id % 10 < 6 THEN CAST(1 AS BIGINT)"
+        " ELSE 2 + page_id % 65536 END AS cell",
+    )
+
+
+def job_skew_topk(spark, salted: bool, k: int = 5, n_salts: int = 32) -> int:
+    """Per-cell top-k pages by length. Unsalted: one window sort must process
+    the whole hot cell in a single task. Salted: top-k per (cell, salt) then
+    top-k of the ≤ k·n_salts survivors — identical results (asserted in
+    tests/test_skew_lineage.py), hot work spread over n_salts reducers."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from geografir_spark.operators.skew import salt_hot_cells
+
+    p = _skewed_pages(spark)
+    order = [F.desc("n_chars"), F.asc("url")]
+    if not salted:
+        w = W.partitionBy("cell").orderBy(*order)
+        out = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    else:
+        s = salt_hot_cells(p, threshold=100_000, n_salts=n_salts, hash_col="page_id")
+        w1 = W.partitionBy("cell", "salt").orderBy(*order)
+        cand = s.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= k)
+        w2 = W.partitionBy("cell").orderBy(*order)
+        out = (
+            cand.drop("rn")
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+        )
+    return out.count()
+
+
 def _make_spark(cores: int):
     from geografir_spark.session import get_spark
     from geografir_spark.shipping import ensure_shipped
@@ -199,6 +245,31 @@ def run_headline() -> tuple[dict, dict]:
     cold, warm = _timed(job_knn, spark, SF_DIR)
     timings["knn_cold"] = round(cold, 3)
     timings["knn_warm"] = round(warm, 3)
+
+    # skew: salted vs unsalted hot-cell top-k — identical outputs (asserted
+    # in tests/test_skew_lineage.py). Wall-clock at bench scale is near
+    # parity (a few-million-row single-task Tungsten sort still fits memory
+    # at ~5M rows/s); the scale-limiting quantity is MAX ROWS PER REDUCER,
+    # which is what determines the 100 TB straggler/OOM — both are recorded.
+    import pyspark.sql.functions as _F
+
+    from geografir_spark.operators.skew import salt_hot_cells as _salt
+
+    _, warm_un = _timed(job_skew_topk, spark, False)
+    _, warm_sa = _timed(job_skew_topk, spark, True)
+    sp = _skewed_pages(spark)
+    mg_un = sp.groupBy("cell").count().agg(_F.max("count")).collect()[0][0]
+    mg_sa = (
+        _salt(sp, threshold=100_000, n_salts=32, hash_col="page_id")
+        .groupBy("cell", "salt").count().agg(_F.max("count")).collect()[0][0]
+    )
+    throughput["skew"] = {
+        "topk_unsalted_sec": round(warm_un, 3),
+        "topk_salted_sec": round(warm_sa, 3),
+        "max_reducer_rows_unsalted": int(mg_un),
+        "max_reducer_rows_salted": int(mg_sa),
+        "balance_factor": round(mg_un / mg_sa, 1),
+    }
 
     # registry queries (operator coverage timing at the bench sf)
     for name, fn in ent.queries().items():

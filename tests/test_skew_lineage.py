@@ -106,3 +106,38 @@ def test_lineage_resume_and_verify(spark):
     bad = lineage.verify_lineage(spark, out_dir).collect()
     assert len(bad) == 1 and bad[0].part_key == 3
     shutil.rmtree(out_dir)
+
+
+def test_salted_topk_equals_unsalted(spark, skewed_df):
+    """The two-phase salted top-k (top-k per (cell, salt), then top-k of the
+    survivors) must return EXACTLY the unsalted window result — the
+    correctness contract behind bench.py's skew measurement."""
+    from pyspark.sql import Window as W
+
+    from geografir_spark.operators.skew import salt_hot_cells
+
+    k = 5
+    df = skewed_df.withColumn("score", F.pmod(F.xxhash64("page_id"), F.lit(10_000)))
+    order = [F.desc("score"), F.asc("page_id")]
+
+    w = W.partitionBy("cell").orderBy(*order)
+    plain = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("cell", "page_id", "rn")
+    )
+
+    s = salt_hot_cells(df, threshold=1000, n_salts=8, hash_col="page_id")
+    w1 = W.partitionBy("cell", "salt").orderBy(*order)
+    cand = s.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= k)
+    w2 = W.partitionBy("cell").orderBy(*order)
+    two_phase = (
+        cand.drop("rn")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("cell", "page_id", "rn")
+    )
+
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, two_phase.collect()))
+    assert a == b and len(a) > 0
