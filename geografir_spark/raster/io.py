@@ -70,12 +70,16 @@ def read_geotiff_tiles(
     target_nodata: "int | float | None" = None,
     target_dtype: "str | None" = None,
     cell_res: "int | None" = None,
+    overview: "int | None" = None,
 ) -> DataFrame:
     """Read ``*.tif`` files under ``path`` into TILE_SCHEMA rows.
 
     ``cell_res``: when set and the file CRS is EPSG:4326, the ``cell``
     column is the engine cell id of the tile origin at that resolution
-    (the join key for raster↔vector ops); otherwise 0."""
+    (the join key for raster↔vector ops); otherwise 0.
+    ``overview``: read pyramid level k of COG files instead of full
+    resolution — a 4^k cheaper scan for zoomed-out zonal/visual passes
+    (each file's decode touches only that level's tile blobs)."""
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tif")
@@ -95,6 +99,7 @@ def read_geotiff_tiles(
                     band_index=band_index,
                     target_nodata=target_nodata,
                     target_dtype=target_dtype,
+                    overview=overview,
                 )
                 stem = os.path.splitext(os.path.basename(p))[0]
                 cell = 0

@@ -173,6 +173,33 @@ def test_spark_cog_write_roundtrip(spark, tmp_path):
     assert meta["nodata"] == -1.0
 
 
+def test_spark_read_overview_level(spark, tmp_path):
+    """Distributed pyramid read: read_geotiff_tiles(overview=1) returns the
+    stride-2 decimated tiles with the scaled transform."""
+    from geografir_spark.raster.geotiff import encode_cog
+    from geografir_spark.raster.io import read_geotiff_tiles
+
+    a = np.arange(600 * 600, dtype="int32").reshape(1, 600, 600) % 1000
+    d = str(tmp_path / "cogs")
+    import os as _os
+
+    _os.makedirs(d)
+    with open(f"{d}/7.tif", "wb") as f:
+        f.write(encode_cog(
+            a, crs="EPSG:4326", transform=(0.1, 0.0, 3.0, 0.0, -0.1, 50.0),
+            nodata=-1, tile=256,
+        ))
+    r = read_geotiff_tiles(spark, d, overview=1).collect()[0]
+    assert (r["height"], r["width"]) == (300, 300)
+    np.testing.assert_array_equal(
+        np.asarray(r["pixels"]).reshape(1, 300, 300).astype("int32"),
+        a[:, ::2, ::2],
+    )
+    assert list(r["transform"]) == pytest.approx([0.2, 0.0, 3.0, 0.0, -0.2, 50.0])
+    full = read_geotiff_tiles(spark, d).collect()[0]
+    assert (full["height"], full["width"]) == (600, 600)
+
+
 def test_spark_write_read_roundtrip(spark, tmp_path):
     from pyspark.sql import functions as F  # noqa: F401
 
