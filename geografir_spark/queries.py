@@ -623,10 +623,57 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(probes, targets, k=_ANN_K)
 
 
-@register("ann_lsh_topk", None)  # approximate — no SQL oracle (rows-only)
+def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8) -> str:
+    """DuckDB replica of the FULL LSH pipeline — the hyperplanes are
+    md5-derived constants, so the oracle embeds them as literals and
+    recomputes signatures, bucket join, exact refine, and top-k. Bucket
+    bits compare a dot product against 0; numpy matmul and DuckDB's
+    list_dot_product may differ by ~1e-16 in summation order, which flips a
+    bit only if |dot| < that error — probability ~1e-10 over this corpus."""
+    from geografir_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes * n_tables, 64)
+    rows = []
+    for p in range(planes.shape[0]):
+        lst = "[" + ", ".join(repr(float(c)) for c in planes[p]) + "]"
+        rows.append(
+            f"({p // n_planes}, {1 << (p % n_planes)}, CAST({lst} AS DOUBLE[]))"
+        )
+    planes_sql = "planes(tbl, wt, coefs) AS (VALUES " + ", ".join(rows) + ")"
+    return f"""
+    WITH {planes_sql},
+    p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+          WHERE vec_id < {_ANN_PROBES}),
+    t AS (SELECT vec_id AS neighbor_id, embedding AS tvec FROM embeddings),
+    tb AS (SELECT neighbor_id, tbl,
+                  sum(CASE WHEN list_dot_product(CAST(tvec AS DOUBLE[]), coefs) >= 0
+                      THEN wt ELSE 0 END) AS bucket
+           FROM t CROSS JOIN planes GROUP BY neighbor_id, tbl),
+    pb AS (SELECT probe_id, tbl,
+                  sum(CASE WHEN list_dot_product(CAST(pvec AS DOUBLE[]), coefs) >= 0
+                      THEN wt ELSE 0 END) AS bucket
+           FROM p CROSS JOIN planes GROUP BY probe_id, tbl),
+    cand AS (SELECT DISTINCT probe_id, neighbor_id
+             FROM pb JOIN tb ON pb.tbl = tb.tbl AND pb.bucket = tb.bucket
+             WHERE probe_id != neighbor_id),
+    d AS (SELECT c.probe_id, c.neighbor_id,
+                 list_cosine_similarity(p.pvec, t.tvec) AS cs
+          FROM cand c JOIN p ON p.probe_id = c.probe_id
+                      JOIN t ON t.neighbor_id = c.neighbor_id),
+    r AS (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY cs DESC, neighbor_id ASC) AS rank
+          FROM d)
+    SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle_sql())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (random hyperplanes, bucket
-    equi-join + exact refine) — the 100 TB-scale ANN path."""
+    equi-join + exact refine) — the 100 TB-scale ANN path. The whole
+    approximate pipeline is deterministic, so it's oracle-checked
+    end-to-end (signatures, buckets, candidates, refine, ranks)."""
     from geografir_spark.operators.similarity import lsh_bucketed_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
