@@ -119,3 +119,36 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_pip_zone_counts(
+    pages: DataFrame,
+    zones: DataFrame,
+    *,
+    res: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming point-in-polygon spatial join + windowed per-zone counts.
+
+    The batch PIP operator (operators/pip_join.py) is stateless end-to-end
+    (cover explode, broadcast stream-static equi-join, Arrow-batched exact
+    refine), so the SAME operator runs unmodified on a streaming pages
+    relation; only the windowed aggregation carries state, bounded by the
+    watermark. Output: (win_start, win_end, zone_id, n_pages)."""
+    from geografir_spark.operators.pip_join import spatial_join_pip
+
+    p = geocode.with_geocode(pages, "text", "page_id")
+    pts = cells.with_cell(p, "lon", "lat", res)
+    joined = spatial_join_pip(pts, zones, res=res)
+    return (
+        joined.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("zone_id"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "zone_id",
+            "n_pages",
+        )
+    )

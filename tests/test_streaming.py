@@ -128,3 +128,60 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 100
     assert result.select("url").distinct().count() == 100
+
+
+def test_stream_pip_join_matches_batch(spark, tmp_path):
+    """The stateless batch PIP operator runs unmodified on a stream:
+    windowed per-zone counts from the stream equal the batch join's counts
+    restricted to watermark-closed windows."""
+    from geografir_spark.geo import cells, geocode
+    from geografir_spark.operators.pip_join import spatial_join_pip
+    from geografir_spark.queries import PIP_RES, _zones_df
+    from geografir_spark.sources.pages import PAGES_COLS_SQL
+    from geografir_spark.streaming.ingest import (
+        _WARC_TS_EXPR,
+        pages_stream,
+        run_available_now,
+        stream_pip_zone_counts,
+    )
+
+    src, out, ckpt = f"{tmp_path}/src", f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    _write_doc_files(spark, src, [(0, 250), (250, 500)])
+    zones = _zones_df(spark, SF_DIR).drop("minx", "miny", "maxx", "maxy")
+
+    sdf = stream_pip_zone_counts(
+        pages_stream(spark, src), zones, res=PIP_RES,
+        window=WINDOW, watermark=WATERMARK,
+    )
+    run_available_now(sdf, out_dir=out, checkpoint_dir=ckpt)
+    got = sorted(
+        (r["win_start"], r["win_end"], r["zone_id"], r["n_pages"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+    pages = (
+        spark.read.parquet(src)
+        .selectExpr(*[f"{e} AS {n}" for n, e in PAGES_COLS_SQL.items()])
+        .selectExpr("*", f"{_WARC_TS_EXPR} AS warc_ts")
+    )
+    p = geocode.with_geocode(pages, "text", "page_id")
+    pts = cells.with_cell(p, "lon", "lat", PIP_RES)
+    joined = spatial_join_pip(pts, zones, res=PIP_RES)
+    wm = p.agg(
+        (F.max("warc_ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0]["wm"]
+    exp = sorted(
+        (r["win_start"], r["win_end"], r["zone_id"], r["n_pages"])
+        for r in joined.groupBy(
+            F.window("warc_ts", WINDOW).alias("win"), "zone_id"
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "zone_id", "n_pages",
+        )
+        .filter(F.col("win_end") <= F.lit(wm))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
