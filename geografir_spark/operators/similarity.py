@@ -185,6 +185,8 @@ def train_centroids_np(X: "np.ndarray", n_lists: int, n_iters: int = 8) -> "np.n
     renormalized mean. Empty lists keep their previous centroid. Fully
     deterministic: no RNG anywhere."""
     X = np.asarray(X, dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("cannot train IVF centroids on an empty sample")
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     n_lists = min(n_lists, len(Xn))
     idx = np.linspace(0, len(Xn) - 1, n_lists).astype(np.int64)
@@ -319,16 +321,17 @@ def embedding_near_dup_pairs(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    schema = T.StructType(
+        [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
+    )
     pdf = df.select(id_col, vec_col).toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
     ids = pdf[id_col].to_numpy()
     A = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
     )
     A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-
-    schema = T.StructType(
-        [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
-    )
 
     def gen(batches):
         for b in batches:

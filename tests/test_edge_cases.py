@@ -1,0 +1,100 @@
+"""Degenerate-input behavior: empty relations, k larger than the corpus,
+zero polygons — the shapes a long-running pipeline inevitably feeds an
+operator at some point."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geografir_spark.geo import cells
+
+
+@pytest.fixture(scope="module")
+def empty_points(spark):
+    df = spark.createDataFrame([], "page_id bigint, lon double, lat double")
+    return cells.with_cell(df, "lon", "lat", 6)
+
+
+@pytest.fixture(scope="module")
+def some_points(spark):
+    df = spark.range(20).selectExpr(
+        "id AS page_id",
+        "CAST(id AS DOUBLE) * 3.0 - 30.0 AS lon",
+        "CAST(id AS DOUBLE) * 1.5 - 15.0 AS lat",
+    )
+    return cells.with_cell(df, "lon", "lat", 6)
+
+
+def test_pip_join_empty_sides(spark, empty_points, some_points):
+    from geografir_spark.operators.pip_join import spatial_join_pip
+
+    zones = spark.createDataFrame(
+        [(1, "POLYGON ((-40 -20, 40 -20, 40 20, -40 20, -40 -20))")],
+        "zone_id bigint, geom_wkt string",
+    )
+    no_zones = spark.createDataFrame([], "zone_id bigint, geom_wkt string")
+
+    assert spatial_join_pip(empty_points, zones, res=6).count() == 0
+    assert spatial_join_pip(some_points, no_zones, res=6).count() == 0
+    # sanity: non-degenerate case finds the interior points
+    assert spatial_join_pip(some_points, zones, res=6).count() > 0
+
+
+def test_knn_k_exceeds_targets(spark, some_points):
+    from geografir_spark.operators.knn import knn_join
+
+    qs = spark.createDataFrame([(100, 0.0, 0.0)], "qid bigint, qx double, qy double")
+    ts = some_points.selectExpr("page_id AS tid", "lon AS tx", "lat AS ty").limit(3)
+    got = knn_join(qs, ts, k=10, res=6).collect()
+    # only 3 targets exist: all are returned, ranks 1..3, no padding rows
+    assert sorted(r["rank"] for r in got) == [1, 2, 3]
+
+
+def test_knn_empty_targets(spark):
+    from geografir_spark.operators.knn import knn_join
+
+    qs = spark.createDataFrame([(1, 0.0, 0.0)], "qid bigint, qx double, qy double")
+    ts = spark.createDataFrame([], "tid bigint, tx double, ty double")
+    assert knn_join(qs, ts, k=5, res=6).count() == 0
+
+
+def test_dedup_on_empty_documents(spark):
+    from geografir_spark.operators import dedup
+
+    spark.createDataFrame([], "doc_id bigint, text string").createOrReplaceTempView(
+        "documents"
+    )
+    assert spark.sql(
+        dedup.exact_dedup_sql("documents", "doc_id", "text", "spark")
+    ).count() == 0
+    assert spark.sql(
+        dedup.simhash_sql("documents", "doc_id", "text", "spark")
+    ).count() == 0
+
+
+def test_embedding_pairs_empty_and_single(spark):
+    from geografir_spark.operators.similarity import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert embedding_near_dup_pairs(empty, tau=0.5).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert embedding_near_dup_pairs(one, tau=0.5).count() == 0
+
+
+def test_cover_degenerate_polygon(spark):
+    """A zero-area (point-like) polygon still covers exactly one cell."""
+    from geografir_spark.operators.pip_join import cover_cells
+
+    z = spark.createDataFrame(
+        [(1, "POLYGON ((3.1 7.2, 3.1 7.2, 3.1 7.2, 3.1 7.2))")],
+        "zone_id bigint, geom_wkt string",
+    )
+    rows = cover_cells(z, "geom_wkt", 8).collect()
+    assert len(rows) == 1
+    import numpy as np
+
+    exp = int(cells.encode_np(np.array([3.1]), np.array([7.2]), 8)[0])
+    assert rows[0]["cell"] == exp
