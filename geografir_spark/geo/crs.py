@@ -266,10 +266,75 @@ def webmerc_inverse(x, y):
 
 
 # ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (Snyder PP1395 pp. 107-109) — EPSG:2154
+# (RGF93 / Lambert-93; RGF93↔WGS84 datum shift is zero at cm level)
+# ---------------------------------------------------------------------------
+
+def _lcc_m(sphi, e2):
+    return np.sqrt(1 - sphi**2) / np.sqrt(1 - e2 * sphi**2)
+
+
+def _lcc_t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+@dataclass(frozen=True)
+class LCCParams:
+    lat1: float
+    lat2: float
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+    ellps: Ellipsoid
+
+    def constants(self):
+        e, e2, a = self.ellps.e, self.ellps.e2, self.ellps.a
+        p1, p2, p0 = (np.radians(v) for v in (self.lat1, self.lat2, self.lat0))
+        m1, m2 = _lcc_m(np.sin(p1), e2), _lcc_m(np.sin(p2), e2)
+        t1, t2, t0 = _lcc_t(p1, e), _lcc_t(p2, e), _lcc_t(p0, e)
+        nn = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        FF = m1 / (nn * t1**nn)
+        rho0 = a * FF * t0**nn
+        return nn, FF, rho0
+
+
+def lcc_forward(lon, lat, p: LCCParams):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e, a = p.ellps.e, p.ellps.a
+    nn, FF, rho0 = p.constants()
+    t = _lcc_t(np.radians(lat), e)
+    rho = a * FF * t**nn
+    theta = nn * np.radians(lon - p.lon0)
+    return p.fe + rho * np.sin(theta), p.fn + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(x, y, p: LCCParams):
+    x = np.asarray(x, dtype=np.float64) - p.fe
+    y = np.asarray(y, dtype=np.float64) - p.fn
+    e, a = p.ellps.e, p.ellps.a
+    nn, FF, rho0 = p.constants()
+    sgn = np.sign(nn)
+    rho = sgn * np.sqrt(x**2 + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    t = (rho / (a * FF)) ** (1.0 / nn)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+    return p.lon0 + np.degrees(theta / nn), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry → (to_4326, from_4326) function pairs
 # ---------------------------------------------------------------------------
 
 _ALBERS_5070 = AlbersParams(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, GRS80)
+_LCC_2154 = LCCParams(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, GRS80)
 
 
 def _utm_params(code: int):
@@ -301,6 +366,8 @@ def get_transform(src: "str | int", dst: "str | int"):
             return webmerc_inverse
         if code == 5070:
             return lambda x, y: albers_inverse(x, y, _ALBERS_5070)
+        if code == 2154:
+            return lambda x, y: lcc_inverse(x, y, _LCC_2154)
         utm = _utm_params(code)
         if utm:
             return lambda x, y: tm_inverse(x, y, **utm)
@@ -313,6 +380,8 @@ def get_transform(src: "str | int", dst: "str | int"):
             return webmerc_forward
         if code == 5070:
             return lambda x, y: albers_forward(x, y, _ALBERS_5070)
+        if code == 2154:
+            return lambda x, y: lcc_forward(x, y, _LCC_2154)
         utm = _utm_params(code)
         if utm:
             return lambda x, y: tm_forward(x, y, **utm)

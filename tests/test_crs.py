@@ -78,4 +78,66 @@ def test_transform_identity_and_errors():
     x, y = ident([1.0], [2.0])
     assert x[0] == 1.0 and y[0] == 2.0
     with pytest.raises(crsmod.TransformError, match="Unable to create transformer"):
-        crsmod.get_transform(4326, 2154)  # Lambert-93 not vendored
+        crsmod.get_transform(4326, 27700)  # OSGB (Airy ellipsoid) not vendored
+
+
+def test_lcc_2154_projection_origin_and_scale():
+    """Lambert-93 (EPSG:2154): the natural origin (3°E, 46°30'N) maps to the
+    false origin (700000, 6600000) BY DEFINITION of the projection params,
+    and the conformal scale factor is exactly 1 on both standard parallels
+    (44°N, 49°N) — which pins n, F, rho0 jointly."""
+    import numpy as np
+
+    from geografir_spark.geo.crs import _LCC_2154, get_transform, lcc_forward
+
+    fwd = get_transform("EPSG:4326", "EPSG:2154")
+    x, y = fwd(np.array([3.0]), np.array([46.5]))
+    assert float(x[0]) == pytest.approx(700000.0, abs=1e-6)
+    assert float(y[0]) == pytest.approx(6600000.0, abs=1e-6)
+
+    a, e2 = _LCC_2154.ellps.a, _LCC_2154.ellps.e2
+    for lat in (44.0, 49.0):
+        dlon = 1e-4
+        (x1, y1) = lcc_forward(np.array([3.0]), np.array([lat]), _LCC_2154)
+        (x2, y2) = lcc_forward(np.array([3.0 + dlon]), np.array([lat]), _LCC_2154)
+        proj_d = float(np.hypot(x2 - x1, y2 - y1))
+        s = np.sin(np.radians(lat))
+        true_d = a * np.cos(np.radians(lat)) / np.sqrt(1 - e2 * s * s) * np.radians(dlon)
+        assert proj_d == pytest.approx(true_d, rel=1e-7)
+
+
+def test_lcc_2154_roundtrip():
+    import numpy as np
+
+    from geografir_spark.geo.crs import get_transform
+
+    lons = np.array([-4.5, -1.0, 2.3522, 5.5, 8.2])
+    lats = np.array([42.4, 44.0, 48.8566, 49.0, 51.0])
+    fwd = get_transform("EPSG:4326", "EPSG:2154")
+    inv = get_transform("EPSG:2154", "EPSG:4326")
+    x, y = fwd(lons, lats)
+    # Lambert-93 coordinates of metropolitan France sit in a known envelope
+    assert (x > 0).all() and (x < 1.3e6).all()
+    assert (y > 6.0e6).all() and (y < 7.2e6).all()
+    lon2, lat2 = inv(x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+
+def test_lcc_2154_through_webmercator_chain():
+    """2154 → 3857 chains through 4326 internally; verify against composing
+    the two public transforms."""
+    import numpy as np
+
+    from geografir_spark.geo.crs import get_transform
+
+    x = np.array([700000.0, 652469.0])
+    y = np.array([6600000.0, 6862035.0])
+    direct = get_transform("EPSG:2154", "EPSG:3857")
+    via = lambda xx, yy: get_transform("EPSG:4326", "EPSG:3857")(
+        *get_transform("EPSG:2154", "EPSG:4326")(xx, yy)
+    )
+    dx, dy = direct(x, y)
+    vx, vy = via(x, y)
+    np.testing.assert_allclose(dx, vx, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(dy, vy, rtol=0, atol=1e-9)
