@@ -35,9 +35,9 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output dir (data/ + lineage/)")
     ap.add_argument("--res", type=int, default=9, help="cell resolution")
     # resume units are coarse cells: pick so that one unit ≈ one executor-
-    # hour of work. res 2 = a 4×4 world grid (≤16 units) suits demo data;
-    # planetary crawls use 4-6 (256-4096 spatially-aligned units).
-    ap.add_argument("--part-res", type=int, default=2, help="resume-unit (coarse cell) resolution")
+    # hour of work; planetary crawls use 4-6 (256-4096 spatially-aligned
+    # units — processed in batched single passes, see plans/lineage.py).
+    ap.add_argument("--part-res", type=int, default=4, help="resume-unit (coarse cell) resolution")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: env)")
     args = ap.parse_args()
 

@@ -64,12 +64,25 @@ def run_resumable(
     part_col: str = "part_key",
     parts_per_batch: int | None = None,
     fail_after_parts: int | None = None,
+    unit_batch: int | None = None,
 ) -> dict:
     """Process ``df`` (which must carry ``part_col``) into ``out_dir``,
     resumably. Returns {"processed": n, "skipped": n, "batch_id": ...}.
 
-    ``fail_after_parts`` injects a crash after N units (test hook for the
-    kill-resume-verify cycle).
+    Pending units are processed in chunks of ``unit_batch`` parts, each
+    chunk ONE distributed pass: a dynamic-partition-overwrite write of every
+    part in the chunk (idempotent — a replay overwrites only those
+    partition dirs), then one grouped stats job, then one lineage append
+    that commits the whole chunk. Default is all pending parts in a single
+    chunk — at 4096 spatial units that is 3 Spark jobs, not 12k sequential
+    driver round-trips; choose a smaller ``unit_batch`` to trade throughput
+    for finer crash-resume granularity (a crash loses at most one chunk's
+    work, never its lineage consistency: lineage is appended only after the
+    chunk's data is fully written).
+
+    ``fail_after_parts`` injects a crash after N committed units (test hook
+    for the kill-resume-verify cycle; forces unit_batch=1 so the injection
+    point is exact).
     """
     spark = df.sparkSession
     df = df.withColumnRenamed(part_col, "part_key") if part_col != "part_key" else df
@@ -81,22 +94,38 @@ def run_resumable(
         todo = todo[:parts_per_batch]
     batch_id = uuid.uuid4().hex[:12]
 
+    if fail_after_parts is not None:
+        unit_batch = 1
+    elif unit_batch is None:
+        unit_batch = max(len(todo), 1)
+
     cols = _checksum_cols(df)
     processed = 0
-    for i, pk in enumerate(todo):
-        if fail_after_parts is not None and i >= fail_after_parts:
-            raise RuntimeError(f"injected failure after {i} parts (batch {batch_id})")
-        unit = df.filter(F.col("part_key") == pk)
-        unit.write.mode("overwrite").parquet(f"{out_dir}/data/part_key={pk}")
-        stats = unit.select(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)).alias("ck"),
-        ).collect()[0]
-        lineage_row = spark.createDataFrame(
-            [(pk, stats.n, stats.ck, batch_id, time.time())], LINEAGE_SCHEMA
+    for start in range(0, len(todo), unit_batch):
+        if fail_after_parts is not None and processed >= fail_after_parts:
+            raise RuntimeError(
+                f"injected failure after {processed} parts (batch {batch_id})"
+            )
+        chunk = todo[start : start + unit_batch]
+        data = df.filter(F.col("part_key").isin(chunk))
+        (
+            data.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_key")
+            .parquet(f"{out_dir}/data")
         )
-        lineage_row.write.mode("append").parquet(f"{out_dir}/lineage")
-        processed += 1
+        stats = data.groupBy("part_key").agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)
+            ).alias("ck"),
+        ).collect()
+        now = time.time()
+        rows = [(r.part_key, r.n, r.ck, batch_id, now) for r in stats]
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+            f"{out_dir}/lineage"
+        )
+        processed += len(chunk)
     return {"processed": processed, "skipped": int(skipped), "batch_id": batch_id}
 
 
