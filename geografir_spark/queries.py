@@ -1290,3 +1290,70 @@ def q_event_type_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     w = W.partitionBy("event_type").orderBy("day")
     return d.withColumn("growth", F.col("n") - F.lag("n").over(w))
+
+
+_SESSION_SQL = """
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, ts, event_id FROM events
+    ),
+    f AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess,
+             ts, event_id
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM f
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM s
+    GROUP BY user_id, session_id
+"""
+
+
+@register("user_sessions", _SESSION_SQL)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a gap > 30 min starts a new session. The classic
+    web-log lag → flag → running-sum window chain (both windows share ONE
+    partition+sort — a single shuffle and in-partition sort), then a hash
+    agg per (user, session). Integer outputs only."""
+    from pyspark.sql import Window as W
+
+    # ts is TIMESTAMP_NTZ with sub-second precision; gap arithmetic runs in
+    # exact integer MICROSECONDS on both engines (unix_micros ↔ epoch_us;
+    # session TZ pinned to UTC in session.py, matching DuckDB's naive read)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "ts", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = o.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
