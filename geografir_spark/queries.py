@@ -1357,3 +1357,30 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+def _host_sql(dialect: str) -> str:
+    """Pages per url host — url host/path extraction (SURVEY §2B scalar
+    strings). Split-based (1-indexed in DuckDB, 0-indexed in Spark) so no
+    regex literal crosses the dialect boundary (escaping differs)."""
+    base = pages_select_sql("documents")
+    host = (
+        "string_split(url, '/')[3]" if dialect == "duckdb" else "split(url, '/')[2]"
+    )
+    return f"""
+    SELECT {host} AS host,
+           count(*) AS n_pages,
+           sum(n_chars) AS total_chars,
+           min(page_id) AS first_page
+    FROM ({base})
+    GROUP BY host
+    ORDER BY n_pages DESC, host ASC
+    LIMIT 50
+    """
+
+
+@register("host_page_counts", _host_sql("duckdb"))
+def q_host_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top hosts by page count — the url-host extraction + top-k shape a
+    crawl-frontier dashboard runs (TakeOrderedAndProject, ties by host)."""
+    return _sql_query(spark, sf_dir, _host_sql("spark"))
