@@ -1182,12 +1182,14 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same whole-stage-codegen pass as the agg) + exact distinct users.
     The JSON-function category of SURVEY.md §2B scalar functions."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # ONE Jackson parse per row (from_json to a typed struct), not one per
+    # aggregate expression referencing the path
+    ev = ev.withColumn("__k", F.from_json("props", "k BIGINT")["k"])
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+        F.sum("__k").alias("sum_k"),
+        F.min("__k").alias("min_k"),
+        F.max("__k").alias("max_k"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
