@@ -146,3 +146,30 @@ def test_geotiff_roundtrip_random(dtype, count, h, w, seed):
     out, meta = decode_geotiff(data)
     np.testing.assert_array_equal(out, a)
     assert (meta["count"], meta["height"], meta["width"]) == (count, h, w)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.sampled_from(["uint8", "int16", "float32"]),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_cog_pyramid_random(dtype, count, h, w, seed):
+    """Every pyramid level of a random COG equals the stride-2^k decimation
+    of the source; the chain stops once a level fits one tile."""
+    from geografir_spark.raster.geotiff import cog_info, decode_geotiff, encode_cog
+
+    rng = np.random.RandomState(seed % (2**31))
+    a = rng.randint(0, 50, size=(count, h, w)).astype(dtype)
+    data = encode_cog(
+        a, crs="EPSG:4326", transform=(1.0, 0.0, 0.0, 0.0, -1.0, float(h)),
+        nodata=0, tile=64,
+    )
+    info = cog_info(data)
+    assert max(info[-1]["width"], info[-1]["height"]) <= 64 or len(info) == 1
+    for k in range(len(info)):
+        out, meta = decode_geotiff(data, overview=k)
+        np.testing.assert_array_equal(out, a[:, :: 2**k, :: 2**k])
+        assert meta["transform"][0] == pytest.approx(2.0**k)
