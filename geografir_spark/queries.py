@@ -77,7 +77,7 @@ def _geocoded_pages_oracle_base(res: int = RES) -> str:
     "pages_per_cell",
     f"""
     SELECT cell, count(*) AS n_pages, count(DISTINCT url) AS n_urls,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM ({_geocoded_pages_oracle_base()})
     GROUP BY cell
     """,
@@ -231,7 +231,8 @@ def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pip_zone_counts",
     f"""
     WITH zones AS ({_ZONES_SQL}), pts AS ({_POINTS_SQL})
-    SELECT z.zone_id AS zone_id, count(*) AS n_points, sum(p.point_id) AS sum_ids
+    SELECT z.zone_id AS zone_id, count(*) AS n_points,
+           CAST(sum(p.point_id) AS BIGINT) AS sum_ids
     FROM pts p JOIN zones z
       ON p.lon >= z.minx AND p.lon <= z.maxx
      AND p.lat >= z.miny AND p.lat <= z.maxy
@@ -725,10 +726,10 @@ def q_cube_cell_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cumulative",
     """
     SELECT event_id, user_id,
-           sum(CAST(round(value * 100.0) AS BIGINT))
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_cents,
+             AS BIGINT) AS cum_cents,
            row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
              AS seq
     FROM events
@@ -848,8 +849,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "html_text_invariant",
     f"""
     WITH pages AS ({pages_select_sql('documents')})
-    SELECT lang, count(*) AS n_pages, 0 AS n_mismatch,
-           sum(octet_length(encode('<html>' || text || '</html>'))) AS total_html_bytes
+    SELECT lang, count(*) AS n_pages, CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(sum(octet_length(encode('<html>' || text || '</html>'))) AS BIGINT)
+             AS total_html_bytes
     FROM pages GROUP BY lang
     """,
 )
@@ -1166,7 +1168,8 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE_SQL = """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(DISTINCT user_id) AS n_users
@@ -1310,9 +1313,9 @@ _SESSION_SQL = """
     ),
     s AS (
       SELECT user_id, ts_us,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM f
     )
     SELECT user_id, session_id,
@@ -1372,7 +1375,7 @@ def _host_sql(dialect: str) -> str:
     return f"""
     SELECT {host} AS host,
            count(*) AS n_pages,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(page_id) AS first_page
     FROM ({base})
     GROUP BY host

@@ -31,6 +31,26 @@ def _duck(sql: str) -> pd.DataFrame:
     return out
 
 
+def _kind(s: pd.Series) -> str:
+    """Numeric *kind* of a column as the driver's value-hash sees it.
+
+    DuckDB HUGEINT (the type of sum(BIGINT)) fetches into pandas as
+    float64, so an un-cast integer sum in the oracle shows up here as
+    kind 'f' against Spark's 'i' — exactly the mismatch that fails the
+    driver's hash. Kind must therefore match BEFORE any coercion; only
+    widths within a kind are normalized for the value comparison.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "M"
+    if pd.api.types.is_float_dtype(s):
+        return "f"
+    if pd.api.types.is_integer_dtype(s):
+        return "i"
+    if pd.api.types.is_bool_dtype(s):
+        return "b"
+    return "O"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -44,8 +64,20 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _compare(name: str, spark_df, duck_df: pd.DataFrame):
-    got = _normalize(spark_df.toPandas())
-    exp = _normalize(duck_df)
+    raw_got = spark_df.toPandas()
+    raw_exp = duck_df
+    # Dtype-KIND check first, pre-coercion: the round-1 version coerced all
+    # ints to int64 before comparing, which hid 7 driver hash failures
+    # (oracle HUGEINT sums fetching as float64). See VERDICT.md r1 #1.
+    for c in sorted(set(raw_got.columns) & set(raw_exp.columns)):
+        kg, ke = _kind(raw_got[c]), _kind(raw_exp[c])
+        assert kg == ke, (
+            f"{name}.{c}: dtype kind mismatch spark={raw_got[c].dtype} "
+            f"duckdb={raw_exp[c].dtype} — the driver's value hash will differ; "
+            f"CAST the oracle expression (HUGEINT sums need CAST(... AS BIGINT))"
+        )
+    got = _normalize(raw_got)
+    exp = _normalize(raw_exp)
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
