@@ -119,3 +119,83 @@ def test_cover_triangle_conservative():
         )
         if f:
             assert corners_in
+
+
+def test_cover_concave_bite_not_full():
+    """VERDICT r1 #3: an edge whose endpoints are BOTH outside a cell can
+    still cross it (thin concave notch). The cell has all 4 corners inside
+    and no polygon vertex inside, so the round-1 corner+vertex heuristic
+    called it full and join rows skipped refine — wrong answer. The exact
+    edge-vs-cell separating-axis test must classify it partial."""
+    res = 7
+    cw, ch = cells.cell_size(res)
+    # target cell: the one containing (10, 10), well inside the grid
+    cell = cells.cover_bbox_np(10.0, 10.0, 10.0, 10.0, res)
+    cminx, cminy, cmaxx, cmaxy = (float(a[0]) for a in cells.cell_bounds_np(cell))
+    ym = (cminy + cmaxy) / 2.0
+    eps = ch / 64.0
+    x0, y0 = cminx - 2 * cw, cminy - 2 * ch   # big rect around the cell
+    x1, y1 = cmaxx + 2 * cw, cmaxy + 2 * ch
+    xn = cmaxx + cw / 4.0                      # notch tip: right of the cell
+    w = (
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, "
+        f"{x0} {ym + eps}, {xn} {ym + eps}, {xn} {ym - eps}, {x0} {ym - eps}, "
+        f"{x0} {y0}))"
+    )
+    g = wkt.parse_wkt(w)
+    # sanity: all 4 corners of the target cell ARE inside, no vertex in cell
+    for x, y in [(cminx, cminy), (cminx, cmaxy), (cmaxx, cminy), (cmaxx, cmaxy)]:
+        assert kernels.points_in_polygon(np.array([x]), np.array([y]), g)[0]
+    # the bitten midline point is OUTSIDE the polygon
+    cx = (cminx + cmaxx) / 2.0
+    assert not kernels.points_in_polygon(np.array([cx]), np.array([ym]), g)[0]
+
+    cover, full = kernels.cover_geometry(w, res)
+    idx = np.nonzero(cover == cell[0])[0]
+    assert len(idx) == 1
+    assert not full[idx[0]], "bitten cell must be partial so refine runs"
+    # and every full cell really is fully inside: probe a 5x5 lattice
+    fminx, fminy, fmaxx, fmaxy = cells.cell_bounds_np(cover[full])
+    for i in range(len(fminx)):
+        gx = np.linspace(fminx[i] + 1e-9, fmaxx[i] - 1e-9, 5)
+        gy = np.linspace(fminy[i] + 1e-9, fmaxy[i] - 1e-9, 5)
+        X, Y = np.meshgrid(gx, gy)
+        assert kernels.points_in_polygon(X.ravel(), Y.ravel(), g).all()
+
+
+def test_pip_join_excludes_bitten_points(spark):
+    """End-to-end: spatial_join_pip must exclude points sitting in a concave
+    bite of a cell whose corners are all inside the polygon."""
+    from geografir_spark.geo import cells as C
+    from geografir_spark.operators.pip_join import spatial_join_pip
+
+    res = 7
+    cw, ch = C.cell_size(res)
+    cell = C.cover_bbox_np(10.0, 10.0, 10.0, 10.0, res)
+    cminx, cminy, cmaxx, cmaxy = (float(a[0]) for a in C.cell_bounds_np(cell))
+    ym = (cminy + cmaxy) / 2.0
+    eps = ch / 64.0
+    x0, y0 = cminx - 2 * cw, cminy - 2 * ch
+    x1, y1 = cmaxx + 2 * cw, cmaxy + 2 * ch
+    xn = cmaxx + cw / 4.0
+    w = (
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, "
+        f"{x0} {ym + eps}, {xn} {ym + eps}, {xn} {ym - eps}, {x0} {ym - eps}, "
+        f"{x0} {y0}))"
+    )
+    cx = (cminx + cmaxx) / 2.0
+    pts = spark.createDataFrame(
+        [
+            (1, cx, ym),                      # in the bite: must be excluded
+            (2, cx, (cminy + ym - eps) / 2),  # below the bite: included
+            (3, cx, (cmaxy + ym + eps) / 2),  # above the bite: included
+        ],
+        "point_id LONG, lon DOUBLE, lat DOUBLE",
+    )
+    pts = C.with_cell(pts, "lon", "lat", res)
+    zones = spark.createDataFrame([(7, w)], "zone_id LONG, geom_wkt STRING")
+    got = sorted(
+        r["point_id"]
+        for r in spatial_join_pip(pts, zones, res=res).select("point_id").collect()
+    )
+    assert got == [2, 3]
