@@ -190,19 +190,24 @@ def _make_spark(cores: int):
     return spark
 
 
-def _steady(fn, *args, tol: float = 0.15, max_warm: int = 5) -> float:
-    """Warm until two consecutive runs agree within ``tol`` (HotSpot C2
-    compiles the generated code only after several executions — measured
-    40s→5.6s across runs of one job), then return the last duration."""
-    prev = None
-    for _ in range(max_warm):
+def _steady(fn, *args, tol: float = 0.10, min_warm: int = 3, max_warm: int = 8) -> float:
+    """Warm until throughput stops improving. HotSpot C2 compiles the
+    generated code only after several executions and the approach to steady
+    state is BIMODAL — measured 6.2, 6.1, 4.5, 1.85 s across consecutive
+    runs of the PIP job — so "two consecutive runs agree" is NOT steady
+    (that heuristic accepted the 6.2/6.1 plateau and under-reported warm
+    throughput 3.6× in round 1). Run at least ``min_warm`` times and keep
+    going while any run improves on the best so far by more than ``tol``."""
+    best = float("inf")
+    for i in range(max_warm):
         t0 = time.time()
         fn(*args)
         dt = time.time() - t0
-        if prev is not None and abs(dt - prev) <= tol * max(dt, prev):
-            return dt
-        prev = dt
-    return prev
+        improved = dt < best * (1.0 - tol)
+        best = min(best, dt)
+        if i + 1 >= min_warm and not improved:
+            break
+    return best
 
 
 def _timed(fn, *args) -> tuple[float, float]:
@@ -386,10 +391,18 @@ def run_scaling() -> dict:
             }
         )
     best = max(results, key=lambda r: r["efficiency"])
+    effs = sorted(r["efficiency"] for r in results)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
     return {
         "p_lo": SCALE_LO,
         "p_hi": SCALE_HI,
         **best,
+        # best-of-passes is upward-biased even with parity gating; the
+        # median is reported alongside so the headline is not the most
+        # favorable sample (VERDICT r1 #9)
+        "efficiency_median": median,
         "pass_efficiencies": [r["efficiency"] for r in results],
         "pass_host_parities": [r["host_parity"] for r in results],
     }

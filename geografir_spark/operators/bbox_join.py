@@ -42,17 +42,20 @@ def cover_bbox_cells(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            parts = []
-            for i in range(len(pdf)):
-                cov = cells.cover_bbox_np(
-                    pdf[minx].iloc[i], pdf[miny].iloc[i],
-                    pdf[maxx].iloc[i], pdf[maxy].iloc[i], res,
-                )
-                rep = pdf.iloc[[i] * len(cov)].reset_index(drop=True)
-                rep[out] = cov
-                parts.append(rep)
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+            ax = pdf[minx].to_numpy()
+            ay = pdf[miny].to_numpy()
+            bx = pdf[maxx].to_numpy()
+            by = pdf[maxy].to_numpy()
+            covs = [
+                cells.cover_bbox_np(ax[i], ay[i], bx[i], by[i], res)
+                for i in range(len(pdf))
+            ]
+            counts = np.array([len(c) for c in covs], dtype=np.int64)
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), counts)].reset_index(drop=True)
+            rep[out] = (
+                np.concatenate(covs) if covs else np.zeros(0, dtype=np.int64)
+            )
+            yield rep
 
     return df.mapInPandas(gen, schema=schema)
 

@@ -817,21 +817,43 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-arithmetic threshold (inter*10 >= union*3) keeps the predicate
     float-free on both engines.
 
-    Tokenize-once shape: the distinct-token array and its size are computed
-    per DOCUMENT before the join (the oracle SQL recomputes them per PAIR —
-    semantically identical, O(pairs) slower; measured 105 s → ~8 s at
-    sf0.1). |A∪B| comes from |A|+|B|−|A∩B|, so each pair costs one hashed
-    intersect instead of intersect + union."""
+    Tokenize-once + dictionary-encode shape: the distinct-token array is
+    computed per DOCUMENT, then tokens are dictionary-encoded to ints (one
+    distinct pass builds the vocab, one join re-encodes) so the per-pair
+    refine intersects sorted int arrays instead of strings — measured 3×
+    on the refine (2.5 s vs 6.8 s cold at sf0.1). |A∪B| comes from
+    |A|+|B|−|A∩B|, so each pair costs one intersect.
+
+    Scale notes: the fixture corpus has a 31-token vocabulary and ~94% of
+    blocked pairs genuinely exceed τ=0.3, so the OUTPUT is quadratic in
+    block size and no candidate prefilter (prefix filtering, MinHash
+    banding) can shrink the work — measured: prefix-filter candidates =
+    622,297 of 622,500 blocked pairs. On a real Zipfian vocabulary this
+    operator should be fed from prefix-filter or MinHash-LSH candidates
+    (operators/dedup.py) instead of blocked pairs; the dictionary encode
+    stays a shuffle join at scale (broadcast here because the vocab is
+    tiny)."""
     d = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .selectExpr(
             "doc_id", "source", "array_distinct(split(text, ' ')) AS toks"
         )
+    )
+    vocab = (
+        d.selectExpr("explode(toks) AS tok")
+        .distinct()
+        .selectExpr("tok", "(row_number() OVER (ORDER BY tok)) AS tid")
+    )
+    enc = (
+        d.selectExpr("doc_id", "source", "explode(toks) AS tok")
+        .join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.expr("array_sort(collect_list(tid))").alias("toks"))
         .withColumn("n_toks", F.expr("size(toks)"))
     )
-    a = d.selectExpr("doc_id AS doc_a", "source", "toks AS ta", "n_toks AS na")
-    b = d.selectExpr("doc_id AS doc_b", "source AS sb", "toks AS tb", "n_toks AS nb")
+    a = enc.selectExpr("doc_id AS doc_a", "source", "toks AS ta", "n_toks AS na")
+    b = enc.selectExpr("doc_id AS doc_b", "source AS sb", "toks AS tb", "n_toks AS nb")
     j = a.join(b, (a["source"] == b["sb"]) & (F.col("doc_a") < F.col("doc_b")))
     return (
         j.withColumn("n_common", F.expr("size(array_intersect(ta, tb))"))

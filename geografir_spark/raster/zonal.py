@@ -67,13 +67,15 @@ def zonal_stats(
             if len(pdf) == 0:
                 continue
             recs = []
-            for _, row in pdf.iterrows():
+            col = {c: pdf[c].to_numpy() for c in pdf.columns}
+            for i in range(len(pdf)):
                 arr = pixels_to_array(
-                    row["pixels"], row["count"], row["height"], row["width"], row["dtype"]
+                    col["pixels"][i], col["count"][i], col["height"][i],
+                    col["width"][i], col["dtype"][i],
                 )[0].astype(np.float64)
                 h, w = arr.shape
                 minx, miny, maxx, maxy = (
-                    float(v) for v in cells.cell_bounds_np(np.asarray([row["cell"]]))
+                    float(v) for v in cells.cell_bounds_np(np.asarray([col["cell"][i]]))
                 )
                 # pixel centers (same associativity as the oracle SQL:
                 # minx + (c + 0.5) * ((maxx - minx) / w))
@@ -83,17 +85,17 @@ def zonal_stats(
                 cy = maxy - (np.arange(h) + 0.5) * ch  # row 0 = top
                 gx, gy = np.meshgrid(cx, cy)
                 inside = (
-                    (gx >= row["__zminx"]) & (gx <= row["__zmaxx"])
-                    & (gy >= row["__zminy"]) & (gy <= row["__zmaxy"])
+                    (gx >= col["__zminx"][i]) & (gx <= col["__zmaxx"][i])
+                    & (gy >= col["__zminy"][i]) & (gy <= col["__zmaxy"][i])
                 )
-                valid = inside & ~mask_np(arr, row["nodata"])
+                valid = inside & ~mask_np(arr, col["nodata"][i])
                 n = int(valid.sum())
                 if n == 0:
-                    recs.append((row["__zid"], 0, 0.0, None, None))
+                    recs.append((col["__zid"][i], 0, 0.0, None, None))
                 else:
                     v = arr[valid]
                     recs.append(
-                        (row["__zid"], n, float(v.sum()), float(v.min()), float(v.max()))
+                        (col["__zid"][i], n, float(v.sum()), float(v.min()), float(v.max()))
                     )
             yield pd.DataFrame.from_records(
                 recs, columns=["zone_key", "n_pixels", "sum_val", "min_val", "max_val"]
