@@ -40,15 +40,90 @@ class TransformError(Exception):
 
 _EPSG_RE = re.compile(r"^(?:epsg|EPSG)\s*:\s*(\d+)$")
 _URN_RE = re.compile(r"^urn:ogc:def:crs:EPSG:[\d.]*:(\d+)$", re.IGNORECASE)
+# WKT1 AUTHORITY["EPSG","4326"] / WKT2 ID["EPSG",4326] — the CRS-level tag
+# is the LAST one in the string (nested datum/ellipsoid tags come first)
+_WKT_AUTH_RE = re.compile(r"""AUTHORITY\s*\[\s*"EPSG"\s*,\s*"(\d+)"\s*\]""", re.IGNORECASE)
+_WKT_ID_RE = re.compile(r"""\bID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]""", re.IGNORECASE)
+_WKT_HEADS = (
+    "GEOGCS", "GEOGCRS", "GEODCRS", "PROJCS", "PROJCRS", "COMPD_CS",
+    "COMPOUNDCRS", "BOUNDCRS", "GEOCCS",
+)
+
+
+def _proj4_params(s: str) -> dict:
+    out = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            raise CRSError(f"Invalid target CRS specification: {s}")
+        body = tok[1:]
+        k, _, v = body.partition("=")
+        out[k] = v
+    return out
+
+
+def _close(params: dict, key: str, want: float, tol: float = 1e-9) -> bool:
+    try:
+        return abs(float(params.get(key, "nan")) - want) <= tol
+    except ValueError:
+        return False
+
+
+def _proj4_code(s: str) -> int:
+    """EPSG code for a PROJ4 string covering the vendored projection set
+    (longlat/WGS84, spherical web mercator, UTM/WGS84, CONUS Albers 5070,
+    Lambert-93 2154) — the same family `to_crs` can transform."""
+    p = _proj4_params(s)
+    if "init" in p:
+        m = _EPSG_RE.match(p["init"])
+        if m:
+            return int(m.group(1))
+        raise CRSError(f"Invalid target CRS specification: {s}")
+    proj = p.get("proj")
+    if proj == "longlat" and p.get("datum", "WGS84") == "WGS84":
+        return 4326
+    if proj == "utm" and p.get("datum", "WGS84") == "WGS84" and "zone" in p:
+        zone = int(p["zone"])
+        if 1 <= zone <= 60:
+            return (32700 if "south" in p else 32600) + zone
+    if proj == "merc" and _close(p, "a", 6378137.0) and _close(p, "b", 6378137.0):
+        return 3857
+    if (
+        proj == "aea"
+        and _close(p, "lat_1", 29.5) and _close(p, "lat_2", 45.5)
+        and _close(p, "lat_0", 23.0) and _close(p, "lon_0", -96.0)
+    ):
+        return 5070
+    if (
+        proj == "lcc"
+        and _close(p, "lat_1", 49.0) and _close(p, "lat_2", 44.0)
+        and _close(p, "lat_0", 46.5) and _close(p, "lon_0", 3.0)
+        and _close(p, "x_0", 700000.0) and _close(p, "y_0", 6600000.0)
+    ):
+        return 2154
+    raise CRSError(f"Invalid target CRS specification: {s}")
+
+
+def _wkt_code(s: str) -> int:
+    """EPSG code of a WKT1/WKT2 CRS string: the trailing CRS-level
+    AUTHORITY/ID tag (nested member tags precede it)."""
+    matches = [(m.start(), m.group(1)) for m in _WKT_AUTH_RE.finditer(s)]
+    matches += [(m.start(), m.group(1)) for m in _WKT_ID_RE.finditer(s)]
+    if not matches:
+        raise CRSError(f"Invalid target CRS specification: {s}")
+    return int(max(matches)[1])
 
 
 def ensure_crs(crs: "str | int") -> str:
     """Normalize a CRS spec to the canonical 'EPSG:<code>' authority string.
 
-    Accepted forms (mirroring CRS.from_user_input's common cases): int EPSG
-    code, 'EPSG:4326'/'epsg:4326', bare digits '4326', OGC URN. Already-
-    canonical strings pass through unchanged (the reference's identity
-    contract, crs.py:140-141).
+    Accepted forms (mirroring CRS.from_user_input, the reference's parser —
+    geometry/src/geometry/crs.py:140-146, input matrix
+    geometry/tests/test_crs.py:31-45,95-113): int EPSG code,
+    'EPSG:4326'/'epsg:4326', bare digits '4326', OGC URN, PROJ4 parameter
+    strings ('+proj=longlat +datum=WGS84', '+proj=utm +zone=33 ...'), and
+    WKT1/WKT2 strings carrying an EPSG AUTHORITY/ID. Already-canonical
+    strings pass through unchanged (the reference's identity contract,
+    crs.py:140-141).
     """
     if isinstance(crs, bool):
         raise CRSError(f"Invalid target CRS specification: {crs}")
@@ -61,6 +136,10 @@ def ensure_crs(crs: "str | int") -> str:
             code = int(m.group(1))
         elif s.isdigit():
             code = int(s)
+        elif s.startswith("+"):
+            code = _proj4_code(s)
+        elif s.upper().startswith(_WKT_HEADS) and "[" in s:
+            code = _wkt_code(s)
         else:
             raise CRSError(f"Invalid target CRS specification: {crs}")
     else:

@@ -61,6 +61,7 @@ _SAMPLE_FORMAT = 339        # 1 = uint, 2 = int, 3 = ieee float
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
+_GDAL_METADATA = 42112
 _GDAL_NODATA = 42113
 
 # TIFF field types
@@ -74,6 +75,45 @@ _GEOGRAPHIC_TYPE = 2048
 _PROJECTED_CS_TYPE = 3072
 
 _GEOGRAPHIC_EPSG = {4326, 4269, 4267}  # geographic codes the engine emits
+
+
+def _band_tags_xml(band_tags: "dict[int, dict[str, str]]") -> bytes:
+    """GDAL_METADATA XML for per-band tags. GDAL stores band metadata as
+    <Item name=... sample=band-1>value</Item> rows (band_index is 1-based in
+    the API, 0-based in the sample attribute) — the on-disk form rasterio's
+    update_tags(band, **tags) produces, which the reference relies on
+    (band_tags.py:286-325)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    rows = []
+    for band in sorted(band_tags):
+        for name in sorted(band_tags[band]):
+            rows.append(
+                f"  <Item name={quoteattr(str(name))} sample=\"{band - 1}\">"
+                f"{escape(str(band_tags[band][name]))}</Item>"
+            )
+    xml = "<GDALMetadata>\n" + "\n".join(rows) + "\n</GDALMetadata>\n"
+    return xml.encode() + b"\x00"
+
+
+def _parse_band_tags_xml(raw: bytes) -> "dict[int, dict[str, str]]":
+    """Inverse of _band_tags_xml (BandTags.from_raster semantics: bands
+    without tags are absent, band_tags.py:328-377)."""
+    import xml.etree.ElementTree as ET
+
+    text = raw.split(b"\x00")[0].decode("utf-8", errors="replace").strip()
+    if not text:
+        return {}
+    out: dict[int, dict[str, str]] = {}
+    root = ET.fromstring(text)
+    for item in root.iter("Item"):
+        name = item.get("name")
+        sample = item.get("sample")
+        if name is None or sample is None:
+            continue  # dataset-level item: not a band tag
+        band = int(sample) + 1
+        out.setdefault(band, {})[name] = item.text or ""
+    return out
 
 
 def _sample_format(dtype: np.dtype) -> int:
@@ -119,6 +159,7 @@ def _image_entries(
     *,
     geo: "tuple[str, tuple[float, ...]] | None",
     overview: bool,
+    band_tags: "dict[int, dict[str, str]] | None" = None,
 ) -> "list[tuple[int, int, int, object]]":
     """TIFF IFD entries for one image (geo tags only when ``geo`` given)."""
     count, _height, _width = array.shape
@@ -147,6 +188,9 @@ def _image_entries(
          struct.pack(f"<{count}H", *([_sample_format(dtype)] * count))),
         (_GDAL_NODATA, _T_ASCII, len(nodata_ascii), nodata_ascii),
     ]
+    if band_tags:
+        xml = _band_tags_xml(band_tags)
+        entries.append((_GDAL_METADATA, _T_ASCII, len(xml), xml))
     if geo is not None:
         crs, transform = geo
         a, b, c, d, e, f = [float(v) for v in transform]
@@ -203,7 +247,10 @@ def _emit_segment(
     pos = data_start
     for blob in blobs:
         offsets.append(pos)
-        pos += len(blob)
+        # pad tile data to even length so every downstream offset — including
+        # the NEXT segment's IFD base in a COG chain — stays word-aligned
+        # (TIFF 6.0); TileByteCounts records the exact unpadded length
+        pos += len(blob) + (len(blob) % 2)
     if n_tiles > 1:
         values_blob += struct.pack(f"<{n_tiles}I", *offsets)
         oversize[_TILE_OFFSETS] = tile_offsets_pos
@@ -228,6 +275,8 @@ def _emit_segment(
     assert base + len(out) == data_start, (base + len(out), data_start)
     for blob in blobs:
         out += blob
+        if len(blob) % 2:
+            out += b"\x00"
     return bytes(out)
 
 
@@ -243,12 +292,18 @@ def encode_geotiff(
     transform: "tuple[float, ...]",
     nodata: "int | float",
     tile: int = TILE,
+    band_tags: "dict[int, dict[str, str]] | None" = None,
 ) -> bytes:
-    """Encode a (count, height, width) array as tiled deflate GeoTIFF bytes."""
+    """Encode a (count, height, width) array as tiled deflate GeoTIFF bytes.
+
+    ``band_tags`` (1-based band → {name: value}) persists as GDAL_METADATA
+    XML (tag 42112) — the write_tags side of the reference's BandTags file
+    round-trip (band_tags.py:286-325)."""
     _validate_3d(array)
     blobs = _compress_tiles(array, tile)
     entries = _image_entries(
-        array, blobs, tile, nodata, geo=(crs, transform), overview=False
+        array, blobs, tile, nodata, geo=(crs, transform), overview=False,
+        band_tags=band_tags,
     )
     return struct.pack("<2sHI", b"II", 42, 8) + _emit_segment(entries, blobs, 8, 0)
 
@@ -268,10 +323,12 @@ def encode_cog(
     transform: "tuple[float, ...]",
     nodata: "int | float",
     tile: int = TILE,
+    band_tags: "dict[int, dict[str, str]] | None" = None,
 ) -> bytes:
     """Encode a COG: full-res IFD first, then chained overview IFDs
     (NewSubfileType=1), stride-2 nearest per level, until a level fits in
-    one ``tile`` (GDAL's default overview stop rule)."""
+    one ``tile`` (GDAL's default overview stop rule). ``band_tags`` land in
+    the full-resolution IFD only (GDAL convention)."""
     _validate_3d(array)
     levels = [array]
     while max(levels[-1].shape[1], levels[-1].shape[2]) > tile:
@@ -287,6 +344,7 @@ def encode_cog(
             lvl, blobs, tile, nodata,
             geo=(crs, transform) if i == 0 else None,
             overview=i > 0,
+            band_tags=band_tags if i == 0 else None,
         )
         segments.append((entries, blobs))
 
@@ -349,6 +407,19 @@ def _read_entry_values(data: bytes, typ: int, cnt: int, raw: bytes):
     if typ == _T_ASCII:
         return buf
     return struct.unpack(f"<{cnt}{_TYPE_FMT[typ]}", buf)
+
+
+def read_band_tags(data: bytes) -> "dict[int, dict[str, str]]":
+    """Per-band tags from GeoTIFF bytes (1-based band → {name: value}).
+
+    The from_raster half of the reference's BandTags file round-trip
+    (band_tags.py:328-377): reads the full-resolution IFD's GDAL_METADATA
+    XML; bands without tags are absent from the result."""
+    base = _ifd_chain(data)[0]
+    raw = base.get(_GDAL_METADATA)
+    if raw is None:
+        return {}
+    return _parse_band_tags_xml(raw)
 
 
 def _decode_nodata(tags: dict) -> "int | float":

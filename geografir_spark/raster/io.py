@@ -31,13 +31,19 @@ from pyspark.sql import DataFrame, SparkSession
 from geografir_spark.raster.model import TILE_SCHEMA
 
 
-def write_geotiff_tiles(df: DataFrame, out_dir: str, *, cog: bool = False) -> None:
+def write_geotiff_tiles(
+    df: DataFrame, out_dir: str, *, cog: bool = False, tags_col: "str | None" = None
+) -> None:
     """Write each TILE_SCHEMA row as ``<out_dir>/<tile_id>.tif``.
 
     ``cog=True`` emits Cloud-Optimized layout: an overview pyramid of
     chained reduced-resolution IFDs (stride-2 nearest per level, matching
     the reference COG profile's overview_resampling=nearest,
-    profiles.py:103)."""
+    profiles.py:103).
+
+    ``tags_col``: optional map<int, map<string,string>> column (the
+    raster.tags BandTags shape) persisted as per-band GDAL_METADATA —
+    the reference's BandTags.write_tags (band_tags.py:286-325)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def _write_partition(rows) -> None:
@@ -50,11 +56,17 @@ def write_geotiff_tiles(df: DataFrame, out_dir: str, *, cog: bool = False) -> No
                 .reshape(r["count"], r["height"], r["width"])
                 .astype(np.dtype(r["dtype"]))
             )
+            band_tags = None
+            if tags_col is not None and r[tags_col] is not None:
+                band_tags = {
+                    int(b): dict(t) for b, t in r[tags_col].items() if t
+                }
             data = encode(
                 arr,
                 crs=r["crs"],
                 transform=tuple(r["transform"]),
                 nodata=r["nodata"],
+                band_tags=band_tags,
             )
             with open(os.path.join(out_dir, f"{r['tile_id']}.tif"), "wb") as f:
                 f.write(data)
@@ -71,6 +83,7 @@ def read_geotiff_tiles(
     target_dtype: "str | None" = None,
     cell_res: "int | None" = None,
     overview: "int | None" = None,
+    with_tags: bool = False,
 ) -> DataFrame:
     """Read ``*.tif`` files under ``path`` into TILE_SCHEMA rows.
 
@@ -79,23 +92,29 @@ def read_geotiff_tiles(
     (the join key for raster↔vector ops); otherwise 0.
     ``overview``: read pyramid level k of COG files instead of full
     resolution — a 4^k cheaper scan for zoomed-out zonal/visual passes
-    (each file's decode touches only that level's tile blobs)."""
+    (each file's decode touches only that level's tile blobs).
+    ``with_tags``: append a ``tags`` map<int, map<string,string>> column of
+    per-band GDAL_METADATA — BandTags.from_raster (band_tags.py:328-377)."""
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tif")
         .load(path)
         .select("path", "content")
     )
+    schema = TILE_SCHEMA
+    if with_tags:
+        schema = TILE_SCHEMA + ", tags map<int, map<string,string>>"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from geografir_spark.geo import cells
-        from geografir_spark.raster.geotiff import decode_geotiff
+        from geografir_spark.raster.geotiff import decode_geotiff, read_band_tags
 
         for pdf in batches:
             out = []
             for p, blob in zip(pdf["path"], pdf["content"]):
+                raw = bytes(blob)
                 arr, meta = decode_geotiff(
-                    bytes(blob),
+                    raw,
                     band_index=band_index,
                     target_nodata=target_nodata,
                     target_dtype=target_dtype,
@@ -110,20 +129,21 @@ def read_geotiff_tiles(
                             np.array([t[2]]), np.array([t[5]]), cell_res
                         )[0]
                     )
-                out.append(
-                    {
-                        "tile_id": int(stem) if stem.isdigit() else -1,
-                        "cell": cell,
-                        "crs": meta["crs"],
-                        "count": meta["count"],
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "dtype": meta["dtype"],
-                        "nodata": float(meta["nodata"]),
-                        "transform": list(meta["transform"]),
-                        "pixels": arr.astype(np.float64).ravel(),
-                    }
-                )
+                rec = {
+                    "tile_id": int(stem) if stem.isdigit() else -1,
+                    "cell": cell,
+                    "crs": meta["crs"],
+                    "count": meta["count"],
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "dtype": meta["dtype"],
+                    "nodata": float(meta["nodata"]),
+                    "transform": list(meta["transform"]),
+                    "pixels": arr.astype(np.float64).ravel(),
+                }
+                if with_tags:
+                    rec["tags"] = read_band_tags(raw)
+                out.append(rec)
             yield pd.DataFrame(out)
 
-    return bin_df.mapInPandas(_decode, schema=TILE_SCHEMA)
+    return bin_df.mapInPandas(_decode, schema=schema)

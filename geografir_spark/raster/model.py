@@ -167,6 +167,17 @@ COG_PROFILE_DEFAULTS = {
 COG_INCOMPATIBLE_KEYS = ["blockxsize", "blockysize", "tiled", "interleave"]
 
 
+def copy_tile_meta(meta: dict, **kwargs) -> dict:
+    """``RasterMetadata.copy`` semantics (reference
+    raster_metadata.py:156-182): a new metadata dict with the given
+    overrides applied; kwargs whose keys are NOT existing metadata fields
+    are silently ignored (the unknown-key tolerance the reference pins at
+    test_raster_metadata.py:287 — e.g. ``copy(nodata=-9999, band_tags={})``
+    applies nodata and drops band_tags)."""
+    allowed = set(meta) & set(kwargs)
+    return {**meta, **{k: kwargs[k] for k in allowed}}
+
+
 def apply_geotiff_profile(profile: dict) -> dict:
     """Merge GTiff defaults, defaults win (profiles.py:148-160)."""
     return {**profile, **GTIFF_PROFILE_DEFAULTS}

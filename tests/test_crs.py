@@ -141,3 +141,53 @@ def test_lcc_2154_through_webmercator_chain():
     vx, vy = via(x, y)
     np.testing.assert_allclose(dx, vx, rtol=0, atol=1e-9)
     np.testing.assert_allclose(dy, vy, rtol=0, atol=1e-9)
+
+
+WKT1_4326 = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]]'
+)
+WKT2_3857 = (
+    'PROJCRS["WGS 84 / Pseudo-Mercator",BASEGEOGCRS["WGS 84",'
+    'DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,298.257223563],'
+    'ID["EPSG",6326]]],CONVERSION["Popular Visualisation Pseudo-Mercator",'
+    'METHOD["Popular Visualisation Pseudo Mercator",ID["EPSG",1024]]],'
+    'CS[Cartesian,2],ID["EPSG",3857]]'
+)
+
+
+@pytest.mark.parametrize(
+    "spec,expected",
+    [
+        # reference input matrix: geometry/tests/test_crs.py:31-45,95-113
+        ("+proj=longlat +datum=WGS84 +no_defs", "EPSG:4326"),
+        ("+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs", "EPSG:32633"),
+        ("+proj=utm +zone=10 +south +datum=WGS84", "EPSG:32710"),
+        ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 "
+         "+k=1 +units=m +nadgrids=@null +wktext +no_defs", "EPSG:3857"),
+        ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 "
+         "+datum=NAD83 +units=m +no_defs", "EPSG:5070"),
+        ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 "
+         "+y_0=6600000 +ellps=GRS80 +units=m +no_defs", "EPSG:2154"),
+        ("+init=EPSG:4326", "EPSG:4326"),
+        (WKT1_4326, "EPSG:4326"),
+        (WKT2_3857, "EPSG:3857"),
+    ],
+)
+def test_ensure_crs_proj4_and_wkt(spec, expected):
+    assert crsmod.ensure_crs(spec) == expected
+
+
+def test_ensure_crs_proj4_and_wkt_invalid():
+    # unknown projection family / WKT without an EPSG tag: same message as
+    # every other rejection (reference crs.py:146)
+    for bad in [
+        "+proj=tmerc +lat_0=0 +lon_0=9",          # not in the vendored set
+        "+proj=utm +zone=99 +datum=WGS84",        # zone out of range
+        'GEOGCS["local",DATUM["local",SPHEROID["s",1,0]]]',  # no AUTHORITY
+    ]:
+        with pytest.raises(crsmod.CRSError, match="Invalid target CRS"):
+            crsmod.ensure_crs(bad)

@@ -272,3 +272,87 @@ def test_flagship_file_pipeline(spark, tmp_path):
     np.testing.assert_array_equal(arr, np.array([[[9, 10], [13, 14]]], dtype="int16"))
     assert meta["transform"] == pytest.approx((1.0, 0.0, 0.0, 0.0, -1.0, 2.0))
     assert meta["dtype"] == "int16" and meta["nodata"] == 0
+
+
+def test_band_tags_file_roundtrip():
+    """R29/R30: write_tags → from_raster file round-trip (reference
+    band_tags.py:286-377 + test_band_tags.py semantics): tags come back
+    exactly; bands without tags are absent; untagged files return {}."""
+    from geografir_spark.raster.geotiff import (
+        encode_cog, encode_geotiff, read_band_tags,
+    )
+
+    arr = np.arange(64, dtype=np.int32).reshape(1, 8, 8)
+    tags = {
+        1: {"classification": "water", "confidence": "high"},
+        3: {"classification": "vegeta<tion&", "year": "2024"},  # XML-escaping
+    }
+    for enc in (encode_geotiff, encode_cog):
+        data = enc(
+            arr.repeat(3, axis=0).reshape(3, 8, 8),
+            crs="EPSG:4326",
+            transform=(0.5, 0.0, 2.0, 0.0, -0.5, 9.0),
+            nodata=-1,
+            band_tags=tags,
+        )
+        got = read_band_tags(data)
+        assert got == tags  # band 2 absent (no empty dict), values exact
+        # tag payload must not disturb the pixel roundtrip
+        out, meta = decode_geotiff(data)
+        np.testing.assert_array_equal(out[0], arr[0])
+    # no tags → {}
+    plain = encode_geotiff(
+        arr, crs="EPSG:4326", transform=(0.5, 0.0, 2.0, 0.0, -0.5, 9.0), nodata=-1
+    )
+    assert read_band_tags(plain) == {}
+
+
+def test_ifd_offsets_word_aligned():
+    """TIFF 6.0: every IFD must begin on a word boundary. Odd-length
+    deflate blobs previously pushed chained COG overview IFDs to odd
+    offsets (ADVICE r1); tile data is now padded (byte counts stay exact)."""
+    import struct
+
+    from geografir_spark.raster.geotiff import encode_cog
+
+    rng = np.random.RandomState(11)
+    # noisy data makes odd-length deflate blobs near-certain
+    arr = rng.randint(0, 2**31 - 1, size=(2, 700, 700)).astype(np.int32)
+    data = encode_cog(
+        arr, crs="EPSG:3857", transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+        nodata=-1, tile=256,
+    )
+    (off,) = struct.unpack_from("<I", data, 4)
+    n_ifds = 0
+    while off:
+        assert off % 2 == 0, f"IFD at odd offset {off}"
+        (n,) = struct.unpack_from("<H", data, off)
+        (off,) = struct.unpack_from("<I", data, off + 2 + 12 * n)
+        n_ifds += 1
+    assert n_ifds >= 2  # pyramid actually chained
+
+
+def test_spark_band_tags_roundtrip(spark, tmp_path):
+    """tags column → files → tags column through the distributed I/O."""
+    from geografir_spark.raster.io import read_geotiff_tiles, write_geotiff_tiles
+    from geografir_spark.raster.model import TILE_SCHEMA
+
+    h, w = 8, 8
+    px = np.arange(h * w, dtype=float)
+    schema = TILE_SCHEMA + ", tags map<int, map<string,string>>"
+    df = spark.createDataFrame(
+        [
+            (1, 0, "EPSG:4326", 1, w, h, "int32", -1.0,
+             [0.5, 0.0, 2.0, 0.0, -0.5, 9.0], px.tolist(),
+             {1: {"species": "pine", "origin": "tile1"}}),
+            (2, 0, "EPSG:4326", 1, w, h, "int32", -1.0,
+             [0.5, 0.0, 6.0, 0.0, -0.5, 9.0], px.tolist(), None),
+        ],
+        schema,
+    )
+    out_dir = str(tmp_path / "tagged")
+    write_geotiff_tiles(df, out_dir, tags_col="tags")
+    back = read_geotiff_tiles(spark, out_dir, with_tags=True)
+    rows = {r["tile_id"]: r["tags"] for r in back.collect()}
+    assert rows[1] == {1: {"species": "pine", "origin": "tile1"}}
+    assert rows[2] in (None, {})  # untagged file: empty

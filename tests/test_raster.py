@@ -247,3 +247,25 @@ def test_conform_tiles_spark(spark):
     assert row.dtype == "int16" and row.nodata == 0.0
     assert row.width == 2 and row.height == 2 and row["count"] == 1
     assert row.pixels == [9.0, 10.0, 13.0, 14.0]
+
+
+def test_copy_tile_meta_unknown_key_tolerance():
+    """R16: RasterMetadata.copy ignores invalid kwargs (reference
+    raster_metadata.py:156-182, pinned by test_raster_metadata.py:287)."""
+    from geografir_spark.raster.model import copy_tile_meta
+
+    meta = {
+        "crs": "EPSG:4326", "count": 3, "width": 3, "height": 3,
+        "dtype": "float32", "nodata": 0.0,
+        "transform": [5.0, 0.0, 0.0, 0.0, -5.0, 5.0],
+    }
+    got = copy_tile_meta(meta, nodata=-9999, count=4, band_tags={})
+    assert got["nodata"] == -9999 and got["count"] == 4
+    assert "band_tags" not in got          # unknown key silently dropped
+    assert meta["nodata"] == 0.0           # original untouched
+    # all-parameters override round-trip
+    new = dict(
+        crs="EPSG:5070", count=2, width=5, height=9, dtype="int32",
+        nodata=99, transform=[15.0, 10.0, -10.0, 0.0, -15.0, 80.0],
+    )
+    assert copy_tile_meta(meta, **new) == new
