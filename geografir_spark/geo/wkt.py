@@ -183,3 +183,19 @@ def is_axis_rectangle(geom) -> bool:
         return False
     xs, ys = set(ring[:, 0].tolist()), set(ring[:, 1].tolist())
     return len(xs) == 2 and len(ys) == 2
+
+
+def geometry_repr(wkt_str: str, crs: str) -> str:
+    """Debug repr of a (wkt, crs) pair — the reference's
+    ``Geometry.__repr__`` shape (geometry.py:242-245), with the shapely
+    ``<WKT>`` inner form."""
+    return f"Geometry(geometry=<{wkt_str}>, crs='{crs}')"
+
+
+def bbox_repr(minx: float, miny: float, maxx: float, maxy: float, crs: str) -> str:
+    """Debug repr of a bounding box — ``BoundingBox.__repr__``
+    (bounding_box.py:176-179)."""
+    return (
+        f"BoundingBox(minx={minx}, miny={miny}, maxx={maxx}, maxy={maxy},"
+        f" crs='{crs}')"
+    )

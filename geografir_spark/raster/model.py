@@ -187,3 +187,18 @@ def apply_cog_profile(profile: dict) -> dict:
     """Merge COG defaults and strip COG-incompatible keys (profiles.py:124-145)."""
     out = {k: v for k, v in profile.items() if k not in COG_INCOMPATIBLE_KEYS}
     return {**out, **COG_PROFILE_DEFAULTS}
+
+
+def tile_meta_repr(meta: dict) -> str:
+    """Debug repr of tile metadata — ``RasterMetadata.__repr__``
+    (raster_metadata.py:220-224); the affine transform renders in the
+    reference's post-replace single-line form."""
+    a, b, c, d, e, f = (float(v) for v in meta["transform"])
+    transform_repr = f"Affine({a!r}, {b!r}, {c!r}, {d!r}, {e!r}, {f!r})"
+    res = meta.get("resolution", abs(a))
+    return (
+        f"RasterMetadata(crs={meta['crs']}, count={meta['count']},"
+        f" width={meta['width']}, height={meta['height']},"
+        f" dtype={meta['dtype']!r}, nodata={meta['nodata']},"
+        f" transform={transform_repr}, resolution={res})"
+    )

@@ -199,3 +199,27 @@ def test_pip_join_excludes_bitten_points(spark):
         for r in spatial_join_pip(pts, zones, res=res).select("point_id").collect()
     )
     assert got == [2, 3]
+
+
+def test_debug_reprs():
+    """G4/G8/R19: debug repr parity shapes (geometry.py:242-245,
+    bounding_box.py:176-179, raster_metadata.py:220-224)."""
+    from geografir_spark.raster.model import tile_meta_repr
+
+    assert (
+        wkt.geometry_repr("POINT (1 2)", "EPSG:4326")
+        == "Geometry(geometry=<POINT (1 2)>, crs='EPSG:4326')"
+    )
+    assert wkt.bbox_repr(0.0, 1.0, 2.0, 3.0, "EPSG:3857") == (
+        "BoundingBox(minx=0.0, miny=1.0, maxx=2.0, maxy=3.0, crs='EPSG:3857')"
+    )
+    meta = {
+        "crs": "EPSG:4326", "count": 1, "width": 3, "height": 3,
+        "dtype": "float32", "nodata": 0.0,
+        "transform": [5.0, 0.0, 0.0, 0.0, -5.0, 5.0],
+    }
+    assert tile_meta_repr(meta) == (
+        "RasterMetadata(crs=EPSG:4326, count=1, width=3, height=3,"
+        " dtype='float32', nodata=0.0,"
+        " transform=Affine(5.0, 0.0, 0.0, 0.0, -5.0, 5.0), resolution=5.0)"
+    )
