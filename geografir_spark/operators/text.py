@@ -116,3 +116,50 @@ def lang_id_expr(text: str, dialect: str) -> str:
     for lang in ("de", "fr", "es", "pt"):
         case += f"WHEN {counts[lang]} = {g} THEN '{lang}' "
     return case + "ELSE 'en' END"
+
+
+def winnow_exprs(
+    text: str, dialect: str, *, k: int = 3, w: int = 4
+) -> "list[dict[str, str]]":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every k-token shingle, then keep the minimum
+    hash of each length-``w`` window of consecutive shingle hashes; the
+    distinct selected minima are the document's fingerprint set.
+
+    Guarantees (from the paper): any shared token run of length ≥ k+w-1
+    contributes at least one COMMON selected fingerprint to both documents,
+    so fingerprint-set intersection detects containment/overlap robustly —
+    unlike whole-doc hashing — while storing ~2/(w+1) of the shingle
+    hashes.
+
+    Emitted as step dicts for ``nested_sql``: __hs (shingle hashes, shared
+    with minhash), then __fps (distinct window minima, array<bigint>).
+    Pure SQL in BOTH dialects — at scale this is whole-stage codegen over
+    arrays, no UDF."""
+    from geografir_spark.operators.dedup import _P, _shingles_expr
+
+    hs = (
+        f"transform({_shingles_expr(text, k, dialect)},"
+        f" s -> {hash60_expr('s', dialect)} % {_P})"
+        if dialect == "spark"
+        else f"list_transform({_shingles_expr(text, k, dialect)},"
+        f" s -> {hash60_expr('s', dialect)} % {_P})"
+    )
+    if dialect == "spark":
+        fps = (
+            f"CASE WHEN size(__hs) >= {w} THEN"
+            f" array_distinct(transform(sequence(0, size(__hs) - {w}),"
+            f" i -> array_min(slice(__hs, i + 1, {w}))))"
+            f" WHEN size(__hs) > 0 THEN array(array_min(__hs))"
+            f" ELSE CAST(array() AS array<bigint>) END"
+        )
+    else:
+        # DuckDB list slicing is 1-based inclusive: __hs[i+1 : i+w]
+        fps = (
+            f"CASE WHEN len(__hs) >= {w} THEN"
+            f" list_distinct(list_transform(range(0, len(__hs) - {w} + 1),"
+            f" i -> list_min(__hs[i + 1 : i + {w}])))"
+            f" WHEN len(__hs) > 0 THEN [list_min(__hs)]"
+            f" ELSE CAST([] AS BIGINT[]) END"
+        )
+    return [{"__hs": hs}, {"__fps": fps}]

@@ -131,3 +131,53 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only snapshot / clone — the engine's server-side copy
+# ---------------------------------------------------------------------------
+
+def snapshot_spatial(spark: SparkSession, path: str, snapshot_path: str) -> int:
+    """Snapshot a spatial table as metadata only: copy its manifest (file
+    references + cell spans + row counts), never the data bytes.
+
+    This is the engine's re-expression of the reference's server-side copy
+    (object_storage/src/object_storage/object_location.py O13/O14 +
+    object_store copy: the bytes never travel through the client). Here
+    they never travel at all — a snapshot is one small parquet write
+    regardless of table size, the same move Iceberg makes with metadata
+    snapshots. Returns the number of files referenced."""
+    man = read_manifest(spark, path)
+    man.coalesce(1).write.mode("overwrite").parquet(f"{snapshot_path}__manifest")
+    return man.count()
+
+
+def read_snapshot(
+    spark: SparkSession,
+    snapshot_path: str,
+    ranges: "list[tuple[int, int]] | None" = None,
+    *,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Read a snapshot through its manifest's file references (the files
+    still live under the source table's path — zero-copy), with optional
+    manifest-level range pruning + residual predicate, exactly as
+    ``read_spatial``."""
+    man = read_manifest(spark, snapshot_path)
+    if ranges:
+        cond = None
+        for lo, hi in ranges:
+            c = (F.col("cell_max") >= F.lit(lo)) & (F.col("cell_min") <= F.lit(hi))
+            cond = c if cond is None else (cond | c)
+        man = man.filter(cond)
+    files = [r["file"] for r in man.select("file").collect()]
+    if not files:
+        raise ValueError(f"snapshot at {snapshot_path} references no files")
+    df = spark.read.parquet(*files)
+    if ranges:
+        rcond = None
+        for lo, hi in ranges:
+            c = (F.col(cell_col) >= F.lit(lo)) & (F.col(cell_col) <= F.lit(hi))
+            rcond = c if rcond is None else (rcond | c)
+        df = df.filter(rcond)
+    return df

@@ -576,6 +576,42 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _text_quality_sql("spark"), repartition=True)
 
 
+def _winnow_sql(dialect: str) -> str:
+    """Same-source doc pairs sharing >= 2 winnowed fingerprints — the
+    rolling-hash (MOSS) containment-candidate join, one SQL text per
+    dialect from the shared winnow_exprs steps."""
+    from geografir_spark.geo.cells import nested_sql
+    from geografir_spark.operators import text as textops
+
+    steps = textops.winnow_exprs("text", dialect)
+    steps[-1] = {"fps": steps[-1]["__fps"]}
+    f = nested_sql("SELECT doc_id, source, text FROM documents", steps)
+    unnest = "explode(fps)" if dialect == "spark" else "unnest(fps)"
+    return f"""
+    WITH f AS ({f}),
+         e AS (SELECT doc_id, source, {unnest} AS fp FROM f)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM e a JOIN e b
+      ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.fp) >= 2
+    """
+
+
+@register("winnow_pairs", _winnow_sql("duckdb"))
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k-gram rolling
+    hashes -> per-window minima -> distinct selected prints; same-source
+    pairs sharing >= 2 prints are containment/overlap candidates. Any
+    shared token run of length >= k+w-1 yields a shared print, so overlap
+    detection is position-robust (whole-doc hashing is not). Pure
+    whole-stage-codegen array SQL on both engines; at scale the explode ->
+    equi-join on (fp, source) shuffles ~2/(w+1) of the shingle volume —
+    the winnowing density bound."""
+    return _sql_query(spark, sf_dir, _winnow_sql("spark"), repartition=True)
+
+
 def _lang_id_sql(dialect: str) -> str:
     from geografir_spark.operators import text as textops
 

@@ -78,3 +78,36 @@ def test_bucketed_join_has_no_shuffle(spark, cell_df, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_snapshot_is_metadata_only_and_reads_back(spark, tmp_path):
+    """O13/O14 server-side copy re-expressed: a snapshot copies the manifest
+    (file references), not data — byte-free of data files, prunes like the
+    source, and equals the source's rows."""
+    import os
+
+    from geografir_spark.plans.layout import (
+        read_snapshot, read_spatial, snapshot_spatial, write_spatial,
+    )
+
+    src = str(tmp_path / "tbl")
+    snap = str(tmp_path / "snap")
+    df = spark.range(0, 4000).selectExpr("id", "id % 97 AS cell")
+    write_spatial(df, src, n_ranges=8)
+
+    n_files = snapshot_spatial(spark, src, snap)
+    assert n_files == 8
+    # zero-copy: the snapshot dir contains ONLY the manifest, no data files
+    assert not os.path.exists(snap)
+    man_files = [
+        f for f in os.listdir(f"{snap}__manifest") if f.endswith(".parquet")
+    ]
+    assert len(man_files) == 1
+
+    # full read equals source
+    assert read_snapshot(spark, snap).count() == 4000
+    # pruned read equals the source's pruned read
+    ranges = [(10, 20)]
+    a = sorted(r["id"] for r in read_snapshot(spark, snap, ranges).collect())
+    b = sorted(r["id"] for r in read_spatial(spark, src, ranges).collect())
+    assert a == b and len(a) > 0
