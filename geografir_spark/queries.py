@@ -587,12 +587,21 @@ def _winnow_sql(dialect: str) -> str:
     steps[-1] = {"fps": steps[-1]["__fps"]}
     f = nested_sql("SELECT doc_id, source, text FROM documents", steps)
     unnest = "explode(fps)" if dialect == "spark" else "unnest(fps)"
+    # document-frequency cap: a fingerprint held by more than max_df docs of
+    # a source is a stop-print — it carries no discriminative signal and its
+    # bucket joins quadratically (measured 218 s at sf0.1 without the cap:
+    # the fixture's 31-token vocabulary makes low-hash shingles near-
+    # universal). Same move MOSS makes; idf in spirit. Deterministic.
     return f"""
     WITH f AS ({f}),
-         e AS (SELECT doc_id, source, {unnest} AS fp FROM f)
+         e AS (SELECT doc_id, source, {unnest} AS fp FROM f),
+         rare AS (SELECT source, fp FROM e
+                  GROUP BY source, fp HAVING count(*) <= 10),
+         er AS (SELECT e.doc_id, e.source, e.fp
+                FROM e JOIN rare ON e.source = rare.source AND e.fp = rare.fp)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
-    FROM e a JOIN e b
+    FROM er a JOIN er b
       ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(DISTINCT a.fp) >= 2
@@ -603,13 +612,51 @@ def _winnow_sql(dialect: str) -> str:
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k-gram rolling
     hashes -> per-window minima -> distinct selected prints; same-source
-    pairs sharing >= 2 prints are containment/overlap candidates. Any
-    shared token run of length >= k+w-1 yields a shared print, so overlap
-    detection is position-robust (whole-doc hashing is not). Pure
-    whole-stage-codegen array SQL on both engines; at scale the explode ->
-    equi-join on (fp, source) shuffles ~2/(w+1) of the shingle volume —
-    the winnowing density bound."""
-    return _sql_query(spark, sf_dir, _winnow_sql("spark"), repartition=True)
+    pairs sharing >= 2 rare prints are containment/overlap candidates
+    (prints held by >10 docs of a source are stop-prints — no signal,
+    quadratic buckets). Any shared token run of length >= k+w-1 yields a
+    shared print, so overlap detection is position-robust (whole-doc
+    hashing is not). At scale the explode -> equi-join on (fp, source)
+    shuffles ~2/(w+1) of the shingle volume (the winnowing density bound)
+    and the df-cap bounds every join bucket at 10 docs.
+
+    The fingerprint stage is PERSISTED before the explode: __fps references
+    __hs (md5 per shingle) five times and CollapseProject would otherwise
+    substitute the whole shingle-hash expression into each — the same
+    re-inlining blowup documented in BENCH.md finding #1 (measured 223 s
+    -> ~3 s at sf0.1; the minhash query needs the identical barrier)."""
+    from geografir_spark.geo import cells
+    from geografir_spark.operators import text as textops
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    steps = textops.winnow_exprs("text", "spark")
+    steps[-1] = {"fps": steps[-1]["__fps"]}
+    f = cells.apply_steps(docs, steps).select("doc_id", "source", "fps").persist()
+    e = f.selectExpr("doc_id", "source", "explode(fps) AS fp")
+    rare = (
+        e.groupBy("source", "fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= 10)
+        .drop("__df")
+    )
+    er = e.join(rare, ["source", "fp"])
+    a = er.selectExpr("doc_id AS doc_a", "source", "fp")
+    b = er.selectExpr("doc_id AS doc_b", "source AS __sb", "fp AS __fpb")
+    pairs = a.join(
+        b,
+        (F.col("source") == F.col("__sb"))
+        & (F.col("fp") == F.col("__fpb"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
 
 
 def _lang_id_sql(dialect: str) -> str:
