@@ -3,4 +3,5 @@ from geografir_spark.streaming.ingest import (  # noqa: F401
     run_available_now,
     stream_cell_counts,
     stream_dedup_latest,
+    stream_user_sessions,
 )

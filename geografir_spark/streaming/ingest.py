@@ -152,3 +152,39 @@ def stream_pip_zone_counts(
             "n_pages",
         )
     )
+
+
+def stream_user_sessions(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the native session window:
+    state merges events separated by less than ``gap``; the watermark
+    closes a session once it passes the session's end (last event + gap)
+    and bounds live state to the horizon.
+
+    The streaming twin of the batch lag → flag → running-sum chain
+    (queries.user_sessions): a closed session's (user, n_events,
+    end − start − gap) equals the batch session's (user, n_events,
+    duration) — asserted in tests/test_streaming.py. Catalyst's session
+    window is the merge-on-update stateful operator a hand-rolled
+    applyInPandasWithState sessionizer would reimplement; at scale state
+    is partitioned by user and windows merge without a shuffle beyond the
+    groupBy's own."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "n_events",
+        )
+    )

@@ -185,3 +185,85 @@ def test_stream_pip_join_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def _write_event_files(spark, dst, n_files=3):
+    """Split events into time-range parquet files with increasing mtimes so
+    the file source feeds them in time order (watermark then only ever
+    advances)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "*", "unix_micros(CAST(ts AS TIMESTAMP)) AS __us"
+    )
+    fracs = ", ".join(str((i + 1) / n_files) for i in range(n_files - 1))
+    bounds = [r[0] for r in ev.selectExpr(
+        f"percentile(__us, array({fracs})) AS p"
+    ).selectExpr("explode(p)").collect()]
+    os.makedirs(dst, exist_ok=True)
+    lo = None
+    for i in range(n_files):
+        hi = bounds[i] if i < n_files - 1 else None
+        part = ev
+        if lo is not None:
+            part = part.filter(F.expr(f"__us >= {lo}"))
+        if hi is not None:
+            part = part.filter(F.expr(f"__us < {hi}"))
+        part = part.drop("__us")
+        tmp = f"{dst}/__tmp_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(f"{tmp}/{src}", f"{dst}/batch_{i}.parquet")
+        shutil.rmtree(tmp)
+        mtime = time.time() - 100 + 10 * i
+        os.utime(f"{dst}/batch_{i}.parquet", (mtime, mtime))
+        lo = hi
+
+
+def test_stream_sessions_match_batch_sessionization(spark, tmp_path):
+    """Native session-window streaming == the batch lag→flag→running-sum
+    sessionization (queries.user_sessions) on every session the final
+    watermark has closed: same (user, n_events, duration) multiset."""
+    from geografir_spark.queries import QUERIES
+    from geografir_spark.streaming import (
+        pages_stream, run_available_now, stream_user_sessions,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_event_files(spark, src)
+
+    schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # watermarks require TIMESTAMP; the fixture is TIMESTAMP_NTZ and the
+        # session TZ is pinned UTC, so the cast is value-preserving
+        .withColumn("ts", F.expr("CAST(ts AS TIMESTAMP)"))
+    )
+    sdf = stream_user_sessions(ev, gap="30 minutes", watermark="2 hours")
+    run_available_now(sdf, out_dir=out, checkpoint_dir=ckpt)
+    got_df = spark.read.parquet(out)
+
+    def _td_us(td):
+        # exact integer microseconds (total_seconds() is a float and
+        # truncates at ~2^31 us)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    got = sorted(
+        (r["user_id"],
+         r["n_events"],
+         _td_us(r["sess_end"] - r["sess_start"]) - 30 * 60 * 1_000_000)
+        for r in got_df.collect()
+    )
+
+    batch = QUERIES["user_sessions"].fn(spark, SF_DIR)
+    # sessions are identical where both closed; every streamed session must
+    # appear in the batch multiset, and the stream must have closed >90% of
+    # batch sessions (only the final 2h watermark horizon stays open)
+    batch_all = sorted(
+        (r["user_id"], r["n_events"], r["duration_us"]) for r in batch.collect()
+    )
+    assert len(got) > 0
+    from collections import Counter
+    cg, cb = Counter(got), Counter(batch_all)
+    assert all(cg[k] <= cb[k] for k in cg), "streamed session not in batch set"
+    assert sum(cg.values()) >= 0.9 * sum(cb.values())
