@@ -576,6 +576,69 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _text_quality_sql("spark"), repartition=True)
 
 
+def _hash_sample_sql(dialect: str, *, rate_bp: int = 1000) -> str:
+    """Deterministic hash sampling at rate_bp/10000: a doc is IN the sample
+    iff hash60(doc_id) % 10000 < rate_bp. Reproducible across engines,
+    clusters, and reruns (TABLESAMPLE is not: it is partition-dependent),
+    and composable — the same predicate selects the same docs in every
+    downstream job. The sampling decision is per-row map-side; the only
+    shuffle is the final stats agg."""
+    from geografir_spark.operators.text import hash60_expr
+
+    h = hash60_expr("CAST(doc_id AS STRING)", dialect)
+    return f"""
+    SELECT count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    WHERE ({h}) % 10000 < {rate_bp}
+    """
+
+
+@register("hash_sample_stats", _hash_sample_sql("duckdb"))
+def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats over a deterministic 10% hash sample of the corpus — the
+    reproducible-sampling primitive every training-data pipeline needs
+    (eval splits, ablation subsets, dedup audits)."""
+    return _sql_query(spark, sf_dir, _hash_sample_sql("spark"))
+
+
+def _host_quota_sql(dialect: str, *, quota: int = 3) -> str:
+    """Per-host quota sampling: keep at most ``quota`` pages per url host,
+    chosen deterministically by (hash60(page_id), page_id) — the
+    domain-balancing cap Common-Crawl pipelines apply so mega-hosts don't
+    dominate the training mix. One window shuffle keyed by host; at scale
+    hot hosts are exactly the skew the salted top-k path handles
+    (operators/skew.py) — the window form is the semantic contract."""
+    from geografir_spark.operators.text import hash60_expr
+
+    base = pages_select_sql("documents")
+    host = (
+        "string_split(url, '/')[3]" if dialect == "duckdb" else "split(url, '/')[2]"
+    )
+    h = hash60_expr("CAST(page_id AS STRING)", dialect)
+    return f"""
+    WITH p AS (SELECT *, {host} AS host, ({h}) AS hsh FROM ({base})),
+         r AS (SELECT host, page_id, n_chars,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY hsh, page_id) AS rn
+               FROM p)
+    SELECT host, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           min(page_id) AS first_kept
+    FROM r WHERE rn <= {quota}
+    GROUP BY host
+    """
+
+
+@register("host_quota_sample", _host_quota_sql("duckdb"))
+def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota sample (<= 3 pages/host, deterministic hash order) +
+    per-host kept stats."""
+    return _sql_query(spark, sf_dir, _host_quota_sql("spark"))
+
+
 def _winnow_sql(dialect: str) -> str:
     """Same-source doc pairs sharing >= 2 winnowed fingerprints — the
     rolling-hash (MOSS) containment-candidate join, one SQL text per

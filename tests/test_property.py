@@ -173,3 +173,55 @@ def test_cog_pyramid_random(dtype, count, h, w, seed):
         out, meta = decode_geotiff(data, overview=k)
         np.testing.assert_array_equal(out, a[:, :: 2**k, :: 2**k])
         assert meta["transform"][0] == pytest.approx(2.0**k)
+
+
+COORD = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=64)
+
+
+@given(COORD, COORD, COORD, COORD, COORD, COORD, st.floats(min_value=0.1, max_value=20.0))
+@settings(max_examples=300, deadline=None)
+def test_segment_rect_sat_vs_sampling(x0, y0, x1, y1, rx, ry, side):
+    """One-sided completeness of the exact SAT segment-rect test: if ANY
+    densely-sampled point of the segment lies in the closed rect, SAT must
+    report an intersection (no false dismissals — the property that makes
+    full-cell classification safe). Plus: disjoint bboxes ⟹ no hit."""
+    from geografir_spark.geo.kernels import segments_intersect_rects
+
+    rminx, rminy = rx, ry
+    rmaxx, rmaxy = rx + side, ry + side
+    got = segments_intersect_rects(
+        np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]),
+        np.array([rminx]), np.array([rminy]), np.array([rmaxx]), np.array([rmaxy]),
+    )[0, 0]
+    t = np.linspace(0.0, 1.0, 2001)
+    px = x0 + (x1 - x0) * t
+    py = y0 + (y1 - y0) * t
+    sampled_hit = bool(
+        ((px >= rminx) & (px <= rmaxx) & (py >= rminy) & (py <= rmaxy)).any()
+    )
+    if sampled_hit:
+        assert got, "sampled point inside rect but SAT said no intersection"
+    bbox_disjoint = (
+        max(x0, x1) < rminx or min(x0, x1) > rmaxx
+        or max(y0, y1) < rminy or min(y0, y1) > rmaxy
+    )
+    if bbox_disjoint:
+        assert not got
+
+
+def test_segment_rect_sat_exact_cases():
+    from geografir_spark.geo.kernels import segments_intersect_rects
+
+    def one(seg, rect):
+        return bool(segments_intersect_rects(
+            *(np.array([v]) for v in seg), *(np.array([v]) for v in rect)
+        )[0, 0])
+
+    r = (0.0, 0.0, 1.0, 1.0)
+    assert one((-1.0, 0.5, 2.0, 0.5), r)          # pass-through, endpoints out
+    assert one((0.25, 0.25, 0.75, 0.75), r)       # fully inside
+    assert one((-1.0, -1.0, 0.0, 0.0), r)         # touches corner
+    assert one((-1.0, 1.0, 1.0, 1.0), r)          # collinear with top edge
+    assert not one((-1.0, 1.5, 2.0, 1.5), r)      # parallel above
+    assert not one((-2.0, 0.0, 0.0, 2.5), r)      # line passes NE of rect
+    assert not one((1.2, -1.0, 1.2, 2.0), r)      # vertical to the right
