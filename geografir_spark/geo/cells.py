@@ -330,3 +330,53 @@ def cover_bbox_np(minx: float, miny: float, maxx: float, maxy: float, res: int) 
     y1 = int(min(axis_index_np(maxy, res, lat=True), n - 1))
     gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
     return encode_idx_np(gx.ravel(), gy.ravel(), res)
+
+
+def compact_np(cell_ids) -> np.ndarray:
+    """H3-style ``compact``: replace every complete quad of sibling cells
+    with their parent, recursively, yielding the minimal multi-resolution
+    set covering the same area. Interior regions of a large cover collapse
+    by ~4× per level — the storage/broadcast form of a polygon cover (a
+    CONUS-sized zone at res 12 is ~10⁶ cells raw, ~10⁴ compacted).
+
+    Input: cell ids at any mix of resolutions (duplicates ignored).
+    Output: sorted unique minimal set; union of cell areas is unchanged
+    (pinned by the uncompact round-trip property test)."""
+    cur = np.unique(np.asarray(cell_ids, dtype=np.int64))
+    out: list[np.ndarray] = []
+    while len(cur):
+        res = cur & RES_MASK
+        r = int(res.max())
+        at = cur[res == r]
+        rest = cur[res != r]
+        if r == 0:
+            out.append(at)
+            cur = rest
+            continue
+        m = at >> RES_BITS
+        parents = m >> 2
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 4]
+        is_full = np.isin(parents, full)
+        out.append(at[~is_full])
+        promoted = (full << RES_BITS) | (r - 1)
+        cur = np.unique(np.concatenate([rest, promoted]))
+    return np.sort(np.concatenate(out)) if out else np.zeros(0, dtype=np.int64)
+
+
+def uncompact_np(cell_ids, target_res: int) -> np.ndarray:
+    """Inverse of ``compact_np``: expand every cell to its descendants at
+    ``target_res`` (cells already at target pass through; finer-than-target
+    input is an error, as in H3)."""
+    cells_arr = np.unique(np.asarray(cell_ids, dtype=np.int64))
+    res = cells_arr & RES_MASK
+    if (res > target_res).any():
+        raise ValueError(f"cell finer than target_res {target_res}")
+    parts = []
+    for r in np.unique(res):
+        at = cells_arr[res == r] >> RES_BITS
+        d = int(target_res - r)
+        k = np.arange(1 << (2 * d), dtype=np.int64)
+        children = ((at[:, None] << (2 * d)) + k[None, :]).ravel()
+        parts.append((children << RES_BITS) | target_res)
+    return np.sort(np.concatenate(parts))

@@ -142,3 +142,31 @@ def test_spark_matches_numpy(spark):
     xi, yi, _ = cells.decode_np(expected[order])
     np.testing.assert_array_equal(np.asarray([r.cell_x for r in rows]), xi)
     np.testing.assert_array_equal(np.asarray([r.cell_y for r in rows]), yi)
+
+
+def test_compact_uncompact_roundtrip():
+    """compact/uncompact (H3 semantics): minimal multi-res set, identical
+    union — uncompacting the compacted cover at the original res returns
+    exactly the original cell set; a complete quad promotes to its parent."""
+    from geografir_spark.geo.cells import (
+        RES_MASK, compact_np, cover_bbox_np, uncompact_np,
+    )
+
+    res = 8
+    cover = cover_bbox_np(-10.0, -10.0, 25.0, 20.0, res)
+    compacted = compact_np(cover)
+    assert len(compacted) < len(cover) / 2      # interior actually collapses
+    assert len(np.unique(compacted & RES_MASK)) > 1  # multi-resolution
+    back = uncompact_np(compacted, res)
+    np.testing.assert_array_equal(back, np.sort(cover))
+
+    # a single complete quad promotes to exactly its parent
+    quad = cover_bbox_np(0.0, 0.0, 1e-9, 1e-9, 6)  # one res-6 cell
+    children = uncompact_np(quad, 7)
+    assert len(children) == 4
+    np.testing.assert_array_equal(compact_np(children), np.sort(quad))
+
+    # finer-than-target uncompact rejects
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        uncompact_np(children, 6)
