@@ -32,9 +32,18 @@ from pyspark.sql import types as T
 from geografir_spark.geo import kernels
 
 
-def cover_cells(polys: DataFrame, wkt_col: str, res: int) -> DataFrame:
+def cover_cells(
+    polys: DataFrame, wkt_col: str, res: int, *, compact: bool = False
+) -> DataFrame:
     """Explode polygons into covering cells: all input columns +
-    (cell bigint, cell_full boolean, pminx..pmaxy double)."""
+    (cell bigint, cell_full boolean, pminx..pmaxy double).
+
+    ``compact=True`` compacts the FULL subset of each polygon's cover into
+    its minimal multi-resolution set (geo.cells.compact_np). This is exact:
+    four full siblings tile their parent, so the parent is itself entirely
+    inside the polygon. Partial (boundary) cells stay at base ``res`` —
+    they feed the exact refine. A continent-scale zone's broadcast shrinks
+    from O(area/cell²) to O(perimeter/cell + interior quadtree nodes)."""
     out_schema = T.StructType(
         list(polys.schema.fields)
         + [
@@ -59,6 +68,16 @@ def cover_cells(polys: DataFrame, wkt_col: str, res: int) -> DataFrame:
                 cover, full = kernels.cover_geometry(wkt_str, res)
                 if len(cover) == 0:
                     continue
+                if compact and full.any():
+                    import numpy as np
+
+                    from geografir_spark.geo.cells import compact_np
+
+                    cfull = compact_np(cover[full])
+                    cover = np.concatenate([cfull, cover[~full]])
+                    full = np.concatenate(
+                        [np.ones(len(cfull), bool), np.zeros((~full).sum(), bool)]
+                    )
                 bminx, bminy, bmaxx, bmaxy = wktmod.bounds(wktmod.parse_wkt(wkt_str))
                 rep = pdf.iloc[[i] * len(cover)].reset_index(drop=True)
                 rep["cell"] = cover
@@ -82,24 +101,72 @@ def spatial_join_pip(
     wkt_col: str = "geom_wkt",
     cell_col: str = "cell",
     broadcast_polys: bool = True,
+    compact_cover: bool = False,
 ) -> DataFrame:
     """Inner PIP join: result = points ⋈ polys where point ∈ polygon.
 
     ``points`` must already carry ``cell_col`` at the same ``res``
     (geo.cells.with_cell). Output: all point columns + all polygon columns
     except the wkt/internal ones.
+
+    ``compact_cover=True`` is the multi-resolution variant: the full-cell
+    half of each cover is compacted (exact — see cover_cells) and points
+    equi-join each resolution LEVEL present via the native parent bit-math
+    projection. Same rows out; the broadcast cover for a large zone drops
+    ~100× and the per-level joins are still plain int64 hash joins. The
+    distinct-level list is polygon-side metadata (≤ res+1 values,
+    collected once from the small side).
     """
-    cov = cover_cells(polys, wkt_col, res).withColumnRenamed("cell", "__poly_cell")
-    if broadcast_polys:
-        cov = F.broadcast(cov)
-    joined = points.join(cov, on=points[cell_col] == cov["__poly_cell"], how="inner")
+    from geografir_spark.geo.cells import RES_MASK, parent_sql
+
+    if compact_cover:
+        cov = cover_cells(polys, wkt_col, res, compact=True).withColumnRenamed(
+            "cell", "__poly_cell"
+        ).persist()
+    else:
+        cov = cover_cells(polys, wkt_col, res).withColumnRenamed("cell", "__poly_cell")
+    bcov = F.broadcast(cov) if broadcast_polys else cov
 
     internal = ["__poly_cell", "cell_full", "pminx", "pminy", "pmaxx", "pmaxy", wkt_col]
     out_cols = [c for c in points.columns] + [
         c for c in polys.columns if c not in internal
     ]
 
-    full_rows = joined.filter(F.col("cell_full")).select(*out_cols)
+    if compact_cover:
+        levels = sorted(
+            r["r"]
+            for r in cov.filter(F.col("cell_full"))
+            .selectExpr(f"CAST(__poly_cell & {RES_MASK} AS INT) AS r")
+            .distinct()
+            .collect()
+        )
+        full_rows = None
+        for r in levels:
+            cov_r = F.broadcast(
+                cov.filter(
+                    F.col("cell_full")
+                    & (F.expr(f"__poly_cell & {RES_MASK}") == r)
+                )
+            ) if broadcast_polys else cov.filter(
+                F.col("cell_full") & (F.expr(f"__poly_cell & {RES_MASK}") == r)
+            )
+            pts_r = points.withColumn("__pc", F.expr(parent_sql(cell_col, r)))
+            part = pts_r.join(
+                cov_r, on=pts_r["__pc"] == cov_r["__poly_cell"], how="inner"
+            ).select(*out_cols)
+            full_rows = part if full_rows is None else full_rows.unionByName(part)
+        if full_rows is None:
+            full_rows = points.join(
+                bcov, on=points[cell_col] == cov["__poly_cell"], how="inner"
+            ).filter(F.lit(False)).select(*out_cols)
+        joined = points.join(
+            bcov, on=points[cell_col] == cov["__poly_cell"], how="inner"
+        )
+    else:
+        joined = points.join(
+            bcov, on=points[cell_col] == cov["__poly_cell"], how="inner"
+        )
+        full_rows = joined.filter(F.col("cell_full")).select(*out_cols)
 
     # boundary cells: native bbox prefilter, then exact PIP in Arrow batches
     boundary = joined.filter(~F.col("cell_full")).filter(

@@ -252,6 +252,34 @@ def q_pip_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIP_COMPACT_ORACLE = f"""
+    WITH zones AS ({_ZONES_SQL}), pts AS ({_POINTS_SQL})
+    SELECT z.zone_id AS zone_id, count(*) AS n_points,
+           CAST(sum(p.point_id) AS BIGINT) AS sum_ids
+    FROM pts p JOIN zones z
+      ON p.lon >= z.minx AND p.lon <= z.maxx
+     AND p.lat >= z.miny AND p.lat <= z.maxy
+    GROUP BY z.zone_id
+    """
+
+
+@register("pip_zone_counts_compact", _PIP_COMPACT_ORACLE)
+def q_pip_zone_counts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-resolution PIP join (compacted full-cell cover, per-level
+    parent equi-joins) against the SAME oracle as pip_zone_counts —
+    compaction is exact, so the driver's value hash must agree. At scale
+    this variant broadcasts the minimal quadtree of each zone instead of
+    its full-res interior."""
+    from geografir_spark.operators.pip_join import spatial_join_pip
+
+    pts = cells.with_cell(_points_df(spark, sf_dir), "lon", "lat", PIP_RES)
+    zones = _zones_df(spark, sf_dir).drop("minx", "miny", "maxx", "maxy")
+    joined = spatial_join_pip(pts, zones, res=PIP_RES, compact_cover=True)
+    return joined.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids")
+    )
+
+
 @register(
     "bbox_zone_pairs",
     f"""

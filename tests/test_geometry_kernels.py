@@ -223,3 +223,48 @@ def test_debug_reprs():
         " dtype='float32', nodata=0.0,"
         " transform=Affine(5.0, 0.0, 0.0, 0.0, -5.0, 5.0), resolution=5.0)"
     )
+
+
+def test_pip_join_compact_cover_equals_standard(spark):
+    """Multi-resolution (compacted full-cell) PIP join must return exactly
+    the standard join's rows — compaction of the full subset is exact (4
+    full siblings tile their parent) — while broadcasting far fewer cover
+    rows. Exercised on a big rectangle (deep interior → real compaction)
+    and the concave-bite polygon (refine path)."""
+    from geografir_spark.geo import cells as C
+    from geografir_spark.operators.pip_join import cover_cells, spatial_join_pip
+
+    res = 8
+    big_rect = "POLYGON ((-20 -15, 30 -15, 30 25, -20 25, -20 -15))"
+    cw, ch = C.cell_size(7)
+    cell = C.cover_bbox_np(10.0, 10.0, 10.0, 10.0, 7)
+    cminx, cminy, cmaxx, cmaxy = (float(a[0]) for a in C.cell_bounds_np(cell))
+    ym = (cminy + cmaxy) / 2.0
+    eps = ch / 64.0
+    bite = (
+        f"POLYGON (({cminx - 2 * cw} {cminy - 2 * ch}, {cmaxx + 2 * cw} {cminy - 2 * ch}, "
+        f"{cmaxx + 2 * cw} {cmaxy + 2 * ch}, {cminx - 2 * cw} {cmaxy + 2 * ch}, "
+        f"{cminx - 2 * cw} {ym + eps}, {cmaxx + cw / 4} {ym + eps}, "
+        f"{cmaxx + cw / 4} {ym - eps}, {cminx - 2 * cw} {ym - eps}, "
+        f"{cminx - 2 * cw} {cminy - 2 * ch}))"
+    )
+    zones = spark.createDataFrame(
+        [(1, big_rect), (2, bite)], "zone_id LONG, geom_wkt STRING"
+    )
+    # deterministic point cloud over the bbox of both zones
+    pts = spark.range(0, 4000).selectExpr(
+        "id AS point_id",
+        "-25.0 + (CAST(pmod(id * 2654435761, 97) AS DOUBLE) / 96.0) * 60.0 AS lon",
+        "-20.0 + (CAST(pmod(id * 40503, 89) AS DOUBLE) / 88.0) * 50.0 AS lat",
+    )
+    pts = C.with_cell(pts, "lon", "lat", res)
+
+    std = spatial_join_pip(pts, zones, res=res)
+    cmp_ = spatial_join_pip(pts, zones, res=res, compact_cover=True)
+    a = sorted((r["point_id"], r["zone_id"]) for r in std.collect())
+    b = sorted((r["point_id"], r["zone_id"]) for r in cmp_.collect())
+    assert a == b and len(a) > 0
+
+    n_std = cover_cells(zones, "geom_wkt", res).count()
+    n_cmp = cover_cells(zones, "geom_wkt", res, compact=True).count()
+    assert n_cmp < n_std / 3, (n_cmp, n_std)  # the broadcast actually shrinks
