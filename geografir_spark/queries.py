@@ -1560,6 +1560,52 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+    WITH ckpt AS (
+      SELECT user_id, ts, CAST(round(value * 100.0) AS BIGINT) AS ckpt_cents
+      FROM events WHERE event_id % 7 = 0
+    ),
+    probes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_id % 7 <> 0
+    )
+    SELECT p.event_type AS event_type,
+           count(*) AS n_joined,
+           CAST(sum(c.ckpt_cents) AS BIGINT) AS sum_ckpt_cents,
+           CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS total_staleness_us
+    FROM probes p ASOF JOIN ckpt c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    GROUP BY p.event_type
+"""
+
+
+@register("asof_join_checkpoints", _ASOF_ORACLE)
+def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join (operators/asof.py): every probe event joined to
+    its user's LATEST checkpoint at-or-before its timestamp, verified
+    against DuckDB's native ASOF JOIN. One shuffle (union + keyed window
+    forward-fill), no pair materialization; staleness sums in exact
+    integer microseconds."""
+    from geografir_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ckpt = ev.filter("event_id % 7 = 0").selectExpr(
+        "user_id", "ts", "CAST(round(value * 100.0) AS BIGINT) AS ckpt_cents"
+    )
+    probes = ev.filter("event_id % 7 != 0").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    j = asof_join(probes, ckpt, keys=["user_id"], how="inner")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_joined"),
+        F.sum("ckpt_cents").alias("sum_ckpt_cents"),
+        F.sum(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.expr("unix_micros(CAST(__asof_ts AS TIMESTAMP))")
+        ).alias("total_staleness_us"),
+    )
+
+
 def _host_sql(dialect: str) -> str:
     """Pages per url host — url host/path extraction (SURVEY §2B scalar
     strings). Split-based (1-indexed in DuckDB, 0-indexed in Spark) so no

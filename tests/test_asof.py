@@ -1,0 +1,55 @@
+"""asof_join operator unit semantics: ties at equal ts match, rows with no
+preceding right row drop (inner) or null-fill (left), per-key isolation.
+(The corpus-level check runs against DuckDB's native ASOF JOIN via the
+asof_join_checkpoints oracle query.)"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from geografir_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),   # after r@09, before r@11
+            (1, _ts("2024-01-01T11:00:00"), "b"),   # ties r@11 exactly
+            (1, _ts("2024-01-01T08:00:00"), "c"),   # before any right row
+            (2, _ts("2024-01-01T10:00:00"), "d"),   # other key, own history
+            (3, _ts("2024-01-01T10:00:00"), "e"),   # key with no right rows
+        ],
+        "k LONG, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 90),
+            (1, _ts("2024-01-01T11:00:00"), 110),
+            (2, _ts("2024-01-01T09:30:00"), 930),
+        ],
+        "k LONG, ts TIMESTAMP, v LONG",
+    )
+
+    inner = {
+        (r["k"], r["tag"]): (r["v"], r["__asof_ts"])
+        for r in asof_join(left, right, keys=["k"], how="inner").collect()
+    }
+    assert inner[(1, "a")] == (90, _ts("2024-01-01T09:00:00"))
+    assert inner[(1, "b")] == (110, _ts("2024-01-01T11:00:00"))  # tie matches
+    assert inner[(2, "d")] == (930, _ts("2024-01-01T09:30:00"))
+    assert (1, "c") not in inner and (3, "e") not in inner
+
+    outer = {
+        (r["k"], r["tag"]): r["v"]
+        for r in asof_join(left, right, keys=["k"], how="left").collect()
+    }
+    assert len(outer) == 5
+    assert outer[(1, "c")] is None and outer[(3, "e")] is None
+
+    import pytest
+    with pytest.raises(ValueError, match="how must be"):
+        asof_join(left, right, keys=["k"], how="full")
