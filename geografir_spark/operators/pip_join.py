@@ -117,7 +117,7 @@ def spatial_join_pip(
     distinct-level list is polygon-side metadata (≤ res+1 values,
     collected once from the small side).
     """
-    from geografir_spark.geo.cells import RES_MASK, parent_sql
+    from geografir_spark.geo.cells import RES_BITS, RES_MASK
 
     if compact_cover:
         cov = cover_cells(polys, wkt_col, res, compact=True).withColumnRenamed(
@@ -140,22 +140,27 @@ def spatial_join_pip(
             .distinct()
             .collect()
         )
-        full_rows = None
-        for r in levels:
-            cov_r = F.broadcast(
-                cov.filter(
-                    F.col("cell_full")
-                    & (F.expr(f"__poly_cell & {RES_MASK}") == r)
-                )
-            ) if broadcast_polys else cov.filter(
-                F.col("cell_full") & (F.expr(f"__poly_cell & {RES_MASK}") == r)
+        if levels:
+            # ONE scan of the big side: explode each point to its ancestor
+            # cell at every level PRESENT in the compacted cover (variable-
+            # resolution parent is plain bit math), then one broadcast hash
+            # join. L-way row inflation is map-side and shuffle-free —
+            # strictly better at scale than L passes over the points table.
+            lvl_arr = ", ".join(str(r) for r in levels)
+            pts_x = points.selectExpr(
+                "*", f"explode(array({lvl_arr})) AS __lvl"
+            ).selectExpr(
+                "*",
+                f"((((({cell_col}) >> {RES_BITS}) >> (2 * ((({cell_col}) & {RES_MASK})"
+                f" - __lvl))) << {RES_BITS}) | __lvl) AS __pc",
             )
-            pts_r = points.withColumn("__pc", F.expr(parent_sql(cell_col, r)))
-            part = pts_r.join(
-                cov_r, on=pts_r["__pc"] == cov_r["__poly_cell"], how="inner"
+            cov_full = cov.filter(F.col("cell_full"))
+            if broadcast_polys:
+                cov_full = F.broadcast(cov_full)
+            full_rows = pts_x.join(
+                cov_full, on=pts_x["__pc"] == cov_full["__poly_cell"], how="inner"
             ).select(*out_cols)
-            full_rows = part if full_rows is None else full_rows.unionByName(part)
-        if full_rows is None:
+        else:
             full_rows = points.join(
                 bcov, on=points[cell_col] == cov["__poly_cell"], how="inner"
             ).filter(F.lit(False)).select(*out_cols)
