@@ -173,3 +173,55 @@ def simhash_sql(rel: str, id_col: str, text_col: str, dialect: str) -> str:
          bits AS (SELECT {id_col}, {bit_sums} FROM hx GROUP BY {id_col})
     SELECT {id_col}, ({bits_or}) AS simhash FROM bits
     """
+
+
+def connected_components(edges, src: str = "src", dst: str = "dst", max_iter: int = 25):
+    """Connected components by hash-min label propagation: every node's
+    label converges to the MINIMUM node id reachable from it. The operator
+    that turns near-duplicate PAIRS into duplicate GROUPS (one keeper per
+    component) — the last stage of a dedup pipeline.
+
+    Each round: label(v) ← min(label(v), min over neighbors' labels), via
+    one join + one groupBy(min); ``localCheckpoint(eager=True)`` truncates
+    the lineage so the plan stays O(1) per round (the knn ring-expansion
+    pattern). Rounds needed ≤ graph diameter — near-dup clusters are
+    shallow (dups of dups of one original), so convergence is typically
+    3-5 rounds; the per-round convergence count is the driver-sync cost
+    inherent to iterative algorithms. Shuffle per round is O(|E| + |V|),
+    both hash-partitioned on node id.
+
+    Returns (id, label) for every node appearing in ``edges``.
+    """
+    from pyspark.sql import functions as F
+
+    # checkpoint the symmetrized edge list ONCE: edges may be the head of an
+    # expensive pipeline (the minhash candidate generator here) and every
+    # round joins it — without the barrier that whole upstream DAG re-runs
+    # per round (measured 54 s → 7 s at sf0.1)
+    sym = (
+        edges.selectExpr(f"{src} AS s", f"{dst} AS d")
+        .unionByName(edges.selectExpr(f"{dst} AS s", f"{src} AS d"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .select(F.col("s").alias("id"), "label")
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        # labels only ever decrease, so an unchanged sum IS the fixpoint —
+        # one tiny agg instead of a join+count per round
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

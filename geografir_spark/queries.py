@@ -667,6 +667,50 @@ def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _host_quota_sql("spark"))
 
 
+def _components_oracle() -> str:
+    """Recursive-CTE transitive closure over the MinHash candidate pairs:
+    label = min doc id reachable. Fine at oracle scale (tens of pairs);
+    the Spark side is the iterative label-propagation operator."""
+    from geografir_spark.operators.dedup import minhash_pairs_sql
+
+    pairs = minhash_pairs_sql("documents", "doc_id", "text", "duckdb")
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach (id, label) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.id
+    ),
+    lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+    SELECT label AS component, count(*) AS n_members,
+           min(id) AS min_doc, max(id) AS max_doc
+    FROM lab GROUP BY label
+    """
+
+
+@register("dedup_components", _components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: MinHash-LSH candidate pairs → connected
+    components (iterative hash-min label propagation,
+    operators/dedup.py:connected_components) → per-component stats. The
+    component's label (min doc id) is the canonical keeper — the final
+    stage of a dedup pipeline. Oracle: recursive-CTE transitive closure
+    over the identical (DuckDB-replayed) pair set."""
+    from geografir_spark.operators.dedup import connected_components
+
+    pairs = QUERIES["dedup_minhash_pairs"].fn(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_members"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+    )
+
+
 def _winnow_sql(dialect: str) -> str:
     """Same-source doc pairs sharing >= 2 winnowed fingerprints — the
     rolling-hash (MOSS) containment-candidate join, one SQL text per

@@ -141,3 +141,22 @@ def test_salted_topk_equals_unsalted(spark, skewed_df):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, two_phase.collect()))
     assert a == b and len(a) > 0
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Label propagation over a 7-node chain (forces multiple rounds — the
+    diameter bound), a triangle, and an isolated pair: every node's label
+    is its component's min id."""
+    from geografir_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)]       # chain 10-…-16
+        + [(100, 101), (101, 102), (100, 102)]    # triangle
+        + [(200, 201)],                           # pair
+        "src LONG, dst LONG",
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(10, 17)} == {10}
+    assert {got[i] for i in (100, 101, 102)} == {100}
+    assert {got[i] for i in (200, 201)} == {200}
+    assert len(got) == 7 + 3 + 2
