@@ -794,6 +794,46 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # word / number / punct runs —
+# backslash-free so the IDENTICAL pattern literal is valid in both regex
+# dialects (Spark/Java vs DuckDB/RE2 escaping differs by one level, the
+# documented cross-dialect hazard)
+
+
+def _bpe_token_sql(dialect: str) -> str:
+    """Subword-style (BPE-ish) token counts per document, aggregated per
+    source: alpha runs, digit runs, and single punctuation marks count
+    separately — the pre-tokenizer split every byte-pair vocabulary is
+    trained over, and the budget metric ('will this doc fit the context?')
+    a training pipeline actually needs, vs whitespace counting which
+    undercounts punctuation-dense text. Map-only + one agg."""
+    n = (
+        f"size(regexp_extract_all(text, '{_BPE_PAT}', 0))"
+        if dialect == "spark"
+        else f"len(regexp_extract_all(text, '{_BPE_PAT}'))"
+    )
+    ws = (
+        "size(split(text, ' '))" if dialect == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum({n}) AS BIGINT) AS total_bpe_tokens,
+           CAST(max({n}) AS BIGINT) AS max_bpe_tokens,
+           CAST(sum({ws}) AS BIGINT) AS total_ws_tokens
+    FROM documents
+    GROUP BY source
+    """
+
+
+@register("bpe_token_counts", _bpe_token_sql("duckdb"))
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword-style token budget (BPE pre-tokenizer split)
+    alongside the whitespace count it corrects."""
+    return _sql_query(spark, sf_dir, _bpe_token_sql("spark"), repartition=True)
+
+
 def _lang_id_sql(dialect: str) -> str:
     from geografir_spark.operators import text as textops
 
