@@ -181,3 +181,59 @@ def read_snapshot(
             rcond = c if rcond is None else (rcond | c)
         df = df.filter(rcond)
     return df
+
+
+def optimize_spatial(
+    spark: SparkSession,
+    path: str,
+    *,
+    cell_col: str = "cell",
+    target_rows_per_file: int = 1_000_000,
+) -> "tuple[int, int]":
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
+    spatial table into ~``target_rows_per_file``-row cell-range-clustered
+    files and refresh its manifest. Streaming ingest and incremental
+    appends accrete small files; a million tiny files makes every scan
+    pay a million opens, and tight per-file cell spans (what the manifest
+    prunes on) only hold if files are re-range-partitioned periodically.
+
+    Returns (files_before, files_after). The rewrite is one
+    repartitionByRange pass (sampled bounds) + the standard manifest write;
+    readers see the swap atomically at the directory level in a real
+    object store via write-then-rename table locations — here the rewrite
+    is in place, which is the sandbox simplification."""
+    man_before = read_manifest(spark, path).count()
+    df = spark.read.parquet(path)
+    total = df.count()
+    n = max(1, round(total / target_rows_per_file))
+    tmp = f"{path}__optimize_tmp"
+    (
+        df.repartitionByRange(n, F.col(cell_col))
+        .sortWithinPartitions(cell_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # swap by rename, not a second Spark write: re-writing through a scan
+    # can merge/reorder the freshly range-clustered files and loosen the
+    # per-file cell spans the manifest prunes on
+    import shutil
+
+    local_path = path.replace("file:", "")
+    local_tmp = tmp.replace("file:", "")
+    shutil.rmtree(local_path)
+    shutil.move(local_tmp, local_path)
+    scan = spark.read.parquet(path)
+    manifest = (
+        scan.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(cell_col).alias("__c"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("__c").alias("cell_min"),
+            F.max("__c").alias("cell_max"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}__manifest")
+    return man_before, read_manifest(spark, path).count()

@@ -667,6 +667,59 @@ def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _host_quota_sql("spark"))
 
 
+_INC_DEDUP_ORACLE = """
+    WITH old AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    fresh AS (
+      SELECT d.doc_id, d.source, md5(d.text) AS h
+      FROM documents d
+      WHERE d.doc_id % 2 = 1
+        AND md5(d.text) NOT IN (SELECT h FROM old)
+    ),
+    keep AS (
+      SELECT h, min(doc_id) AS keeper FROM fresh GROUP BY h
+    )
+    SELECT f.source AS source,
+           count(*) AS n_candidates,
+           count(DISTINCT f.h) AS n_kept,
+           CAST(sum(CASE WHEN f.doc_id = k.keeper THEN f.doc_id ELSE 0 END)
+                AS BIGINT) AS keeper_id_sum
+    FROM fresh f JOIN keep k ON f.h = k.h
+    GROUP BY f.source
+"""
+
+
+@register("incremental_dedup", _INC_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape every production ingest runs:
+    a NEW batch (odd doc_ids) dedupes against the SEEN corpus (even
+    doc_ids) by content hash via a broadcast-able anti-join (no new-batch
+    row survives if its hash exists), then within-batch keeper election
+    (min id per surviving hash). At scale the seen side is the content-
+    hash column of the corpus table: the anti-join hash-partitions both
+    sides on h; AQE turns it into a broadcast when the new batch is small.
+    One shuffle on h + one agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 2 = 0").selectExpr("md5(text) AS h")
+    new = docs.filter("doc_id % 2 = 1").selectExpr(
+        "doc_id", "source", "md5(text) AS h"
+    )
+    fresh = new.join(old, "h", "left_anti")
+    keep = fresh.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        fresh.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.countDistinct("h").alias("n_kept"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), F.col("doc_id")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("keeper_id_sum"),
+        )
+    )
+
+
 def _components_oracle() -> str:
     """Recursive-CTE transitive closure over the MinHash candidate pairs:
     label = min doc id reachable. Fine at oracle scale (tens of pairs);

@@ -111,3 +111,26 @@ def test_snapshot_is_metadata_only_and_reads_back(spark, tmp_path):
     a = sorted(r["id"] for r in read_snapshot(spark, snap, ranges).collect())
     b = sorted(r["id"] for r in read_spatial(spark, src, ranges).collect())
     assert a == b and len(a) > 0
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE maintenance: a fragmented table (64 tiny files) rewrites to
+    ~target-sized cell-clustered files, the manifest refreshes, and both
+    full and range-pruned reads are row-identical before/after."""
+    from geografir_spark.plans.layout import (
+        optimize_spatial, read_spatial, write_spatial,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 8000).selectExpr("id", "id % 97 AS cell")
+    write_spatial(df, path, n_ranges=64)
+
+    before_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    nb, na = optimize_spatial(spark, path, target_rows_per_file=4000)
+    assert nb == 64 and na <= 4
+    after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+    pruned = sorted(
+        r["id"] for r in read_spatial(spark, path, [(10, 20)]).collect()
+    )
+    assert pruned == sorted(i for i in range(8000) if 10 <= i % 97 <= 20)
