@@ -3,5 +3,6 @@ from geografir_spark.streaming.ingest import (  # noqa: F401
     run_available_now,
     stream_cell_counts,
     stream_dedup_latest,
+    stream_interval_join,
     stream_user_sessions,
 )

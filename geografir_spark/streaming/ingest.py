@@ -188,3 +188,35 @@ def stream_user_sessions(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "fts",
+    upper: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pairs where
+    ``right_ts ∈ (left_ts, left_ts + upper]`` on the same key — the
+    streaming twin of operators.interval_join (the error→follow-up shape).
+
+    Both sides carry event-time watermarks and the join predicate bounds
+    right_ts to a window AFTER left_ts, so Spark's symmetric hash join can
+    evict state once the watermark passes a row's last possible match:
+    state per side is O(rate × (watermark + upper)), not unbounded. Inner
+    join: every match emits exactly once as the later side arrives — with
+    an availableNow drain of complete inputs the output equals the batch
+    join exactly (asserted in tests)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

@@ -267,3 +267,56 @@ def test_stream_sessions_match_batch_sessionization(spark, tmp_path):
     cg, cb = Counter(got), Counter(batch_all)
     assert all(cg[k] <= cb[k] for k in cg), "streamed session not in batch set"
     assert sum(cg.values()) >= 0.9 * sum(cb.values())
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch error_followups
+    pair set on fully drained inputs: every (error, follow-up within 10
+    min) pair emits exactly once."""
+    from geografir_spark.streaming import run_available_now, stream_interval_join
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_event_files(spark, src)
+
+    schema = spark.read.parquet(src).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.expr("CAST(ts AS TIMESTAMP)"))
+        )
+
+    errors = _stream().filter("event_type = 'error'").selectExpr(
+        "user_id", "ts", "event_id"
+    )
+    others = _stream().filter("event_type <> 'error'").selectExpr(
+        "user_id AS fuser", "ts AS fts", "event_id AS fid"
+    )
+    j = stream_interval_join(
+        errors, others, left_key="user_id", right_key="fuser",
+        left_ts="ts", right_ts="fts", upper="10 minutes",
+    ).select("event_id", "fid")
+    run_available_now(j, out_dir=out, checkpoint_dir=ckpt)
+    got = sorted(
+        (r["event_id"], r["fid"]) for r in spark.read.parquet(out).collect()
+    )
+
+    ev = spark.read.parquet(src)
+    be = ev.filter("event_type = 'error'").selectExpr("user_id", "ts", "event_id")
+    bo = ev.filter("event_type <> 'error'").selectExpr(
+        "user_id AS fuser", "ts AS fts", "event_id AS fid"
+    )
+    exp = sorted(
+        (r["event_id"], r["fid"])
+        for r in be.join(
+            bo,
+            (be["user_id"] == bo["fuser"])
+            & (bo["fts"] > be["ts"])
+            & (bo["fts"] <= be["ts"] + F.expr("INTERVAL 10 minutes")),
+            "inner",
+        ).select("event_id", "fid").collect()
+    )
+    assert len(exp) > 0
+    assert got == exp
