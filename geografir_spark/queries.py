@@ -423,6 +423,91 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on both engines, so the vendored transform is oracle-checkable end-to-end)
 # ---------------------------------------------------------------------------
 
+_TRI_X0 = "(-67.5 + CAST(n_nationkey % 5 AS DOUBLE) * 22.5 + 3.75)"
+_TRI_Y0 = "(-33.75 + CAST(n_nationkey % 3 AS DOUBLE) * 11.25 + 2.8125)"
+# triangle V0=(x0,y0), V1=V0+(28.125,5.625), V2=V0+(9.375,19.6875) — every
+# coordinate is a dyadic rational, so engine and oracle doubles are
+# bit-identical; the PIP comparison uses the IDENTICAL IEEE expression as
+# geo.kernels.points_in_ring, so even boundary pixels agree exactly
+
+
+@register(
+    "zonal_stats_polygon",
+    f"""
+    WITH zv AS (SELECT n_nationkey AS zone_id,
+                       {_TRI_X0} AS x0, {_TRI_Y0} AS y0 FROM nation),
+         edges AS (
+           SELECT zone_id, x0 AS ax, y0 AS ay,
+                  x0 + 28.125 AS bx, y0 + 5.625 AS byy FROM zv
+           UNION ALL
+           SELECT zone_id, x0 + 28.125, y0 + 5.625,
+                  x0 + 9.375, y0 + 19.6875 FROM zv
+           UNION ALL
+           SELECT zone_id, x0 + 9.375, y0 + 19.6875, x0, y0 FROM zv
+         ),
+         grid AS (SELECT t1.xi, t2.yi
+                  FROM (SELECT unnest(range(5, 11)) AS xi) t1,
+                       (SELECT unnest(range(5, 11)) AS yi) t2),
+         cellt AS ({cells.nested_sql("SELECT xi, yi FROM grid", _ZONAL_CELL_STEPS)}),
+         px AS (SELECT cell, xi, yi, unnest(range(0, 64)) AS i FROM cellt),
+         pv AS (SELECT cell, i, {_ZONAL_PIXEL_VALUE} AS val,
+                       {_ZONAL_PX} AS pxx, {_ZONAL_PY} AS pyy
+                FROM px),
+         ins AS (
+           SELECT p.cell, p.i, p.val, e.zone_id,
+                  sum(CASE WHEN ((e.ay > p.pyy) != (e.byy > p.pyy))
+                            AND p.pxx < e.ax + (p.pyy - e.ay) * (e.bx - e.ax)
+                                / (CASE WHEN e.byy - e.ay = 0.0 THEN 1.0
+                                        ELSE e.byy - e.ay END)
+                           THEN 1 ELSE 0 END) AS crossings
+           FROM pv p CROSS JOIN edges e
+           GROUP BY p.cell, p.i, p.val, e.zone_id
+         )
+    SELECT zone_id, count(*) AS n_pixels, sum(val) AS sum_val,
+           min(val) AS min_val, max(val) AS max_val
+    FROM ins WHERE crossings % 2 = 1 AND val != -1.0
+    GROUP BY zone_id
+    """,
+)
+def q_zonal_stats_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats over TRUE POLYGON zones (triangles): cover cells with
+    full/partial flags, full tiles aggregate without geometry work, partial
+    tiles run the exact even-odd PIP on pixel centers. The oracle replays
+    the identical crossing-number formula in pure SQL (edges CTE × pixel
+    CTE), so the match is bit-exact including boundary pixels."""
+    from geografir_spark.raster.zonal import zonal_stats_polygon
+
+    grid = (
+        spark.range(5, 11).selectExpr("id AS xi")
+        .crossJoin(spark.range(5, 11).selectExpr("id AS yi"))
+    )
+    t = cells.apply_steps(grid, _ZONAL_CELL_STEPS)
+    tiles = t.selectExpr(
+        "cell AS tile_id",
+        "cell",
+        "'EPSG:4326' AS crs",
+        "CAST(1 AS INT) AS count",
+        "CAST(8 AS INT) AS width",
+        "CAST(8 AS INT) AS height",
+        "'float64' AS dtype",
+        "CAST(-1.0 AS DOUBLE) AS nodata",
+        "array(2.8125, 0.0, -180.0 + xi * 22.5, 0.0, -1.40625,"
+        " (-90.0 + yi * 11.25) + 11.25) AS transform",
+        f"transform(sequence(0, 63), i -> {_ZONAL_PIXEL_VALUE}) AS pixels",
+    )
+    zones = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS zone_id", f"{_TRI_X0} AS x0", f"{_TRI_Y0} AS y0"
+    ).selectExpr(
+        "zone_id",
+        "concat('POLYGON ((',"
+        " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), ', ',"
+        " CAST(x0 + 28.125 AS STRING), ' ', CAST(y0 + 5.625 AS STRING), ', ',"
+        " CAST(x0 + 9.375 AS STRING), ' ', CAST(y0 + 19.6875 AS STRING), ', ',"
+        " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), '))') AS geom_wkt",
+    )
+    return zonal_stats_polygon(tiles, zones, res=ZONAL_RES)
+
+
 @register(
     "transform_webmercator_envelope",
     f"""
