@@ -225,3 +225,24 @@ def test_segment_rect_sat_exact_cases():
     assert not one((-1.0, 1.5, 2.0, 1.5), r)      # parallel above
     assert not one((-2.0, 0.0, 0.0, 2.5), r)      # line passes NE of rect
     assert not one((1.2, -1.0, 1.2, 2.0), r)      # vertical to the right
+
+
+@given(
+    st.lists(
+        st.tuples(LON, LAT), min_size=1, max_size=40, unique=True
+    ),
+    RESOLUTION,
+)
+@settings(max_examples=60, deadline=None)
+def test_compact_uncompact_property(points, res):
+    """compact∘uncompact is the identity on any base-res cell set, and the
+    compacted set is never larger."""
+    from geografir_spark.geo.cells import compact_np, encode_np, uncompact_np
+
+    lons = np.array([p[0] for p in points])
+    lats = np.array([p[1] for p in points])
+    cells_set = np.unique(encode_np(lons, lats, res))
+    compacted = compact_np(cells_set)
+    assert len(compacted) <= len(cells_set)
+    back = uncompact_np(compacted, res)
+    np.testing.assert_array_equal(back, np.sort(cells_set))
