@@ -127,3 +127,40 @@ def cover_geometry(wkt_str: str, res: int) -> tuple[np.ndarray, np.ndarray]:
         full = corners_in & ~crossed
         return cover, full
     return cover, np.zeros(len(cover), dtype=bool)
+
+
+def _orient(px, py, qx, qy, rx, ry):
+    """Signed area orientation of r relative to directed line p→q — the
+    EXACT expression the SQL oracle evaluates: (qx-px)*(ry-py)-(qy-py)*(rx-px)."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def polygons_intersect(geom_a, geom_b) -> bool:
+    """Exact intersects test for two polygons under the engine's shared
+    formula contract: TRUE iff some edge of A properly crosses some edge of
+    B (strict opposite orientations on both segments), or a vertex of A is
+    inside B / vertex of B inside A (even-odd). Both engines evaluate the
+    identical IEEE expressions, so results agree bit-for-bit including
+    degenerate touchings (which land wherever the shared formula lands).
+    O(E_a × E_b) per pair — polygon pairs reach this only through the
+    cover-cell prefilter."""
+    rings_a = wkt.polygon_rings(geom_a)
+    rings_b = wkt.polygon_rings(geom_b)
+    ea = np.vstack([np.column_stack([r[:-1], r[1:]]) for r in rings_a])
+    eb = np.vstack([np.column_stack([r[:-1], r[1:]]) for r in rings_b])
+    ax0, ay0, ax1, ay1 = (ea[:, i][:, None] for i in range(4))
+    bx0, by0, bx1, by1 = (eb[:, i][None, :] for i in range(4))
+    o1 = _orient(ax0, ay0, ax1, ay1, bx0, by0)
+    o2 = _orient(ax0, ay0, ax1, ay1, bx1, by1)
+    o3 = _orient(bx0, by0, bx1, by1, ax0, ay0)
+    o4 = _orient(bx0, by0, bx1, by1, ax1, ay1)
+    cross = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    if cross.any():
+        return True
+    va = rings_a[0][0]
+    vb = rings_b[0][0]
+    if points_in_polygon(np.array([va[0]]), np.array([va[1]]), geom_b)[0]:
+        return True
+    return bool(points_in_polygon(np.array([vb[0]]), np.array([vb[1]]), geom_a)[0])

@@ -280,6 +280,82 @@ def q_pip_zone_counts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_X0 = "(-67.5 + CAST(n_nationkey % 5 AS DOUBLE) * 22.5 + 3.75)"
+_TRI_Y0 = "(-33.75 + CAST(n_nationkey % 3 AS DOUBLE) * 11.25 + 2.8125)"
+# triangle V0=(x0,y0), V1=V0+(28.125,5.625), V2=V0+(9.375,19.6875) — every
+# coordinate is a dyadic rational, so engine and oracle doubles are
+# bit-identical; the PIP comparison uses the IDENTICAL IEEE expression as
+# geo.kernels.points_in_ring, so even boundary pixels agree exactly
+
+
+_POLY_EDGES_SQL = f"""
+    zv AS (SELECT n_nationkey AS zone_id,
+                  {_TRI_X0} AS x0, {_TRI_Y0} AS y0 FROM nation),
+    edges AS (
+      SELECT zone_id, x0 AS ax, y0 AS ay,
+             x0 + 28.125 AS bx, y0 + 5.625 AS byy FROM zv
+      UNION ALL
+      SELECT zone_id, x0 + 28.125, y0 + 5.625,
+             x0 + 9.375, y0 + 19.6875 FROM zv
+      UNION ALL
+      SELECT zone_id, x0 + 9.375, y0 + 19.6875, x0, y0 FROM zv
+    )
+"""
+
+
+@register(
+    "zone_poly_intersections",
+    f"""
+    WITH {_POLY_EDGES_SQL},
+    crossed AS (
+      SELECT DISTINCT ea.zone_id AS zone_a, eb.zone_id AS zone_b
+      FROM edges ea JOIN edges eb ON ea.zone_id < eb.zone_id
+      WHERE ((((ea.bx - ea.ax) * (eb.ay - ea.ay) - (ea.byy - ea.ay) * (eb.ax - ea.ax)) > 0 AND ((ea.bx - ea.ax) * (eb.byy - ea.ay) - (ea.byy - ea.ay) * (eb.bx - ea.ax)) < 0) OR (((ea.bx - ea.ax) * (eb.ay - ea.ay) - (ea.byy - ea.ay) * (eb.ax - ea.ax)) < 0 AND ((ea.bx - ea.ax) * (eb.byy - ea.ay) - (ea.byy - ea.ay) * (eb.bx - ea.ax)) > 0))
+        AND ((((eb.bx - eb.ax) * (ea.ay - eb.ay) - (eb.byy - eb.ay) * (ea.ax - eb.ax)) > 0 AND ((eb.bx - eb.ax) * (ea.byy - eb.ay) - (eb.byy - eb.ay) * (ea.bx - eb.ax)) < 0) OR (((eb.bx - eb.ax) * (ea.ay - eb.ay) - (eb.byy - eb.ay) * (ea.ax - eb.ax)) < 0 AND ((eb.bx - eb.ax) * (ea.byy - eb.ay) - (eb.byy - eb.ay) * (ea.bx - eb.ax)) > 0))
+    ),
+    vin_ab AS (
+      SELECT va.zone_id AS zone_a, eb.zone_id AS zone_b
+      FROM zv va JOIN edges eb ON va.zone_id < eb.zone_id
+      GROUP BY va.zone_id, eb.zone_id, va.x0, va.y0
+      HAVING sum(CASE WHEN ((eb.ay > va.y0) != (eb.byy > va.y0)) AND va.x0 < eb.ax + (va.y0 - eb.ay) * (eb.bx - eb.ax) / (CASE WHEN eb.byy - eb.ay = 0.0 THEN 1.0 ELSE eb.byy - eb.ay END) THEN 1 ELSE 0 END) % 2 = 1
+    ),
+    vin_ba AS (
+      SELECT ea.zone_id AS zone_a, vb.zone_id AS zone_b
+      FROM zv vb JOIN edges ea ON ea.zone_id < vb.zone_id
+      GROUP BY ea.zone_id, vb.zone_id, vb.x0, vb.y0
+      HAVING sum(CASE WHEN ((ea.ay > vb.y0) != (ea.byy > vb.y0)) AND vb.x0 < ea.ax + (vb.y0 - ea.ay) * (ea.bx - ea.ax) / (CASE WHEN ea.byy - ea.ay = 0.0 THEN 1.0 ELSE ea.byy - ea.ay END) THEN 1 ELSE 0 END) % 2 = 1
+    )
+    SELECT DISTINCT zone_a, zone_b FROM (
+      SELECT * FROM crossed
+      UNION ALL SELECT * FROM vin_ab
+      UNION ALL SELECT * FROM vin_ba
+    ) u
+    """,
+)
+def q_zone_poly_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon × polygon intersects self-join (st_intersects) over the
+    triangle zones: cover-cell candidate prefilter (no false dismissals —
+    intersecting polygons share the cell of any common point) + exact
+    orientation-sign/vertex-containment refine. The oracle replays the
+    IDENTICAL IEEE orientation and crossing-number expressions in pure SQL
+    over the edge CTE, so results agree bit-for-bit even on degenerate
+    touchings (identical triangles land wherever the shared formula
+    lands)."""
+    from geografir_spark.operators.poly_join import polygon_self_intersects_join
+
+    zones = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS zone_id", f"{_TRI_X0} AS x0", f"{_TRI_Y0} AS y0"
+    ).selectExpr(
+        "zone_id",
+        "concat('POLYGON ((',"
+        " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), ', ',"
+        " CAST(x0 + 28.125 AS STRING), ' ', CAST(y0 + 5.625 AS STRING), ', ',"
+        " CAST(x0 + 9.375 AS STRING), ' ', CAST(y0 + 19.6875 AS STRING), ', ',"
+        " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), '))') AS geom_wkt",
+    )
+    return polygon_self_intersects_join(zones, res=ZONAL_RES)
+
+
 @register(
     "bbox_zone_pairs",
     f"""
@@ -423,12 +499,6 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on both engines, so the vendored transform is oracle-checkable end-to-end)
 # ---------------------------------------------------------------------------
 
-_TRI_X0 = "(-67.5 + CAST(n_nationkey % 5 AS DOUBLE) * 22.5 + 3.75)"
-_TRI_Y0 = "(-33.75 + CAST(n_nationkey % 3 AS DOUBLE) * 11.25 + 2.8125)"
-# triangle V0=(x0,y0), V1=V0+(28.125,5.625), V2=V0+(9.375,19.6875) — every
-# coordinate is a dyadic rational, so engine and oracle doubles are
-# bit-identical; the PIP comparison uses the IDENTICAL IEEE expression as
-# geo.kernels.points_in_ring, so even boundary pixels agree exactly
 
 
 @register(
