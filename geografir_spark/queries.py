@@ -1042,6 +1042,49 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _bpe_token_sql("spark"), repartition=True)
 
 
+def _rare_ngram_sql(dialect: str, *, rare_below: int = 50) -> str:
+    """Rare character-bigram rate per document, aggregated per source — the
+    integer-exact analog of perplexity quality filtering (CCNet-style): a
+    document whose character n-grams are mostly corpus-rare is boilerplate,
+    mojibake, or noise. Log-prob scoring would be the float form, but ln()
+    differs in the last ulp across engines; counting bigrams below a corpus
+    frequency threshold keeps every number integer and the oracle exact.
+    Two aggregations: corpus bigram counts (vocab-bounded), then a
+    broadcast-able join back to per-doc bigrams."""
+    if dialect == "spark":
+        bg = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        ex = f"explode({bg})"
+    else:
+        bg = "list_transform(range(1, length(text)), i -> text[i:i+1])"
+        ex = f"unnest({bg})"
+    return f"""
+    WITH bi AS (SELECT doc_id, source, {ex} AS bg FROM documents),
+         counts AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg),
+         per_doc AS (
+           SELECT doc_id, source,
+                  count(*) AS n_bg,
+                  sum(CASE WHEN c < {rare_below} THEN 1 ELSE 0 END) AS n_rare
+           FROM bi JOIN counts ON bi.bg = counts.bg
+           GROUP BY doc_id, source
+         )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_rare) AS BIGINT) AS total_rare,
+           CAST(max(n_rare) AS BIGINT) AS max_rare,
+           CAST(sum(CASE WHEN n_rare * 20 >= n_bg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    """
+
+
+@register("rare_ngram_quality", _rare_ngram_sql("duckdb"))
+def q_rare_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rare-bigram quality stats; docs with >= 5% corpus-rare
+    bigrams are flagged."""
+    return _sql_query(spark, sf_dir, _rare_ngram_sql("spark"), repartition=True)
+
+
 def _lang_id_sql(dialect: str) -> str:
     from geografir_spark.operators import text as textops
 
