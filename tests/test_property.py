@@ -194,10 +194,16 @@ def test_segment_rect_sat_vs_sampling(x0, y0, x1, y1, rx, ry, side):
         np.array([rminx]), np.array([rminy]), np.array([rmaxx]), np.array([rmaxy]),
     )[0, 0]
     t = np.linspace(0.0, 1.0, 2001)
-    px = x0 + (x1 - x0) * t
-    py = y0 + (y1 - y0) * t
+    # endpoint-exact lerp; and require a small interior margin so float
+    # rounding of interior samples can't fabricate a touch the true segment
+    # doesn't have (hypothesis found x1=6.6e-221 where x0+(x1-x0)*1.0
+    # rounds to 0.0 and "hits" a rect the segment misses)
+    px = (1.0 - t) * x0 + t * x1
+    py = (1.0 - t) * y0 + t * y1
+    eps = 1e-9 * max(abs(x0), abs(x1), abs(y0), abs(y1), side, 1.0)
     sampled_hit = bool(
-        ((px >= rminx) & (px <= rmaxx) & (py >= rminy) & (py <= rmaxy)).any()
+        ((px >= rminx + eps) & (px <= rmaxx - eps)
+         & (py >= rminy + eps) & (py <= rmaxy - eps)).any()
     )
     if sampled_hit:
         assert got, "sampled point inside rect but SAT said no intersection"
