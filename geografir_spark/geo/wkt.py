@@ -199,3 +199,59 @@ def bbox_repr(minx: float, miny: float, maxx: float, maxy: float, crs: str) -> s
         f"BoundingBox(minx={minx}, miny={miny}, maxx={maxx}, maxy={maxy},"
         f" crs='{crs}')"
     )
+
+
+def simplify_ring(ring: "np.ndarray", tol: float) -> "np.ndarray":
+    """Douglas-Peucker ring simplification (closed ring in, closed ring
+    out; first point pinned). The pre-simplify step the PIP/cover kernels
+    document for huge polygons — O(edges) work per retained vertex,
+    deterministic, no RNG. Degenerate outputs (< 4 points incl. closure)
+    return the original ring."""
+    import numpy as np
+
+    pts = ring[:-1]  # drop closure
+    n = len(pts)
+    if n <= 3:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    # treat the closed ring as the open polyline pts[0..n-1] + back to pts[0]
+    stack = [(0, n)]  # segment from index i to index j % n
+    while stack:
+        i, j = stack.pop()
+        a = pts[i]
+        b = pts[j % n]
+        seg = b - a
+        idxs = np.arange(i + 1, j)
+        if len(idxs) == 0:
+            continue
+        rel = pts[idxs] - a
+        denom = float(seg[0] * seg[0] + seg[1] * seg[1])
+        if denom == 0.0:
+            d = np.sqrt((rel ** 2).sum(axis=1))
+        else:
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / np.sqrt(denom)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = idxs[k]
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    out = pts[keep]
+    if len(out) < 3:
+        return ring
+    return np.vstack([out, out[:1]])
+
+
+def simplify_wkt(wkt_str: str, tol: float) -> str:
+    """Simplify every ring of a POLYGON/MULTIPOLYGON WKT (other types pass
+    through unchanged)."""
+    geom = parse_wkt(wkt_str)
+    kind, data = geom
+    if kind == "POLYGON":
+        return to_wkt((kind, [simplify_ring(r, tol) for r in data]))
+    if kind == "MULTIPOLYGON":
+        return to_wkt(
+            (kind, [[simplify_ring(r, tol) for r in poly] for poly in data])
+        )
+    return wkt_str

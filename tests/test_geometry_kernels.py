@@ -268,3 +268,40 @@ def test_pip_join_compact_cover_equals_standard(spark):
     n_std = cover_cells(zones, "geom_wkt", res).count()
     n_cmp = cover_cells(zones, "geom_wkt", res, compact=True).count()
     assert n_cmp < n_std / 3, (n_cmp, n_std)  # the broadcast actually shrinks
+
+
+def test_simplify_ring_douglas_peucker():
+    """DP simplification: collinear chains collapse, genuine corners stay,
+    tolerance bounds the Hausdorff error, and PIP over the simplified
+    polygon matches the original away from the boundary band."""
+    # a square densified with 9 collinear points per edge + one real notch
+    t = np.linspace(0.0, 10.0, 11)
+    bottom = np.column_stack([t, np.zeros_like(t)])
+    right = np.column_stack([np.full_like(t, 10.0), t])
+    top = np.column_stack([t[::-1], np.full_like(t, 10.0)])
+    left = np.column_stack([np.zeros_like(t), t[::-1]])
+    ring = np.vstack([bottom[:-1], right[:-1], top[:-1], left])  # closed
+    simp = wkt.simplify_ring(ring, tol=1e-9)
+    assert len(simp) == 5  # 4 corners + closure
+    np.testing.assert_array_equal(simp[0], simp[-1])
+
+    # a spike taller than tol survives; shorter than tol goes
+    spike = np.array([[0, 0], [4, 0], [5, 0.5], [6, 0], [10, 0],
+                      [10, 10], [0, 10], [0, 0]], dtype=float)
+    kept = wkt.simplify_ring(spike, tol=0.1)
+    assert any((kept == [5, 0.5]).all(axis=1))           # spike apex kept
+    dropped = wkt.simplify_ring(spike, tol=1.0)
+    assert len(dropped) == 5                             # square only
+    assert not any((dropped == [5, 0.5]).all(axis=1))
+
+    # WKT round trip + PIP agreement away from the boundary
+    w = ("POLYGON ((" +
+         ", ".join(f"{x} {y}" for x, y in ring) + "))")
+    sw = wkt.simplify_wkt(w, 1e-9)
+    g0, g1 = wkt.parse_wkt(w), wkt.parse_wkt(sw)
+    rng = np.random.RandomState(5)
+    px = rng.uniform(-2, 12, 500)
+    py = rng.uniform(-2, 12, 500)
+    a = kernels.points_in_polygon(px, py, g0)
+    b = kernels.points_in_polygon(px, py, g1)
+    np.testing.assert_array_equal(a, b)
