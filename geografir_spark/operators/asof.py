@@ -43,6 +43,19 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     rpay = [c for c in right.columns if c not in keys and c != right_ts]
+    # fail fast on silent-overwrite hazards: a left column sharing a right
+    # payload name would be replaced by the right value, and the internal
+    # union-alignment columns assume they are free on both sides
+    clash = sorted(set(left.columns) & set(rpay))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with right payload"
+            " columns — rename one side (right payload overwrites left)"
+        )
+    reserved = {"__ts", "__side", "__r", "__last_r", "__asof_ts"}
+    bad = sorted(reserved & (set(left.columns) | set(right.columns)))
+    if bad:
+        raise ValueError(f"asof_join: reserved column names in inputs: {bad}")
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),

@@ -24,6 +24,8 @@ structurally:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,8 +202,18 @@ def optimize_spatial(
     Returns (files_before, files_after). The rewrite is one
     repartitionByRange pass (sampled bounds) + the standard manifest write;
     readers see the swap atomically at the directory level in a real
-    object store via write-then-rename table locations — here the rewrite
-    is in place, which is the sandbox simplification."""
+    object store via write-then-rename table locations — here the swap is
+    two renames with the DELETE LAST (old directory moved aside, tmp
+    promoted, aside-copy removed only after promotion succeeds), so a
+    crash at any point leaves either the old or the new table readable,
+    never neither (ADVICE r2: rmtree-then-move lost the table on a crash
+    between the calls).
+
+    WARNING: OPTIMIZE rewrites the data files, so any metadata-only
+    snapshot taken earlier (``snapshot_spatial``) still references the
+    PRE-optimize files and breaks — exactly as expiring old Iceberg
+    snapshots does. Materialize or re-take snapshots you need to keep
+    before running OPTIMIZE."""
     man_before = read_manifest(spark, path).count()
     df = spark.read.parquet(path)
     total = df.count()
@@ -220,8 +232,16 @@ def optimize_spatial(
 
     local_path = path.replace("file:", "")
     local_tmp = tmp.replace("file:", "")
-    shutil.rmtree(local_path)
-    shutil.move(local_tmp, local_path)
+    aside = f"{local_path}__optimize_old"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)  # leftover from a previous crashed swap
+    os.rename(local_path, aside)
+    try:
+        shutil.move(local_tmp, local_path)
+    except BaseException:
+        os.rename(aside, local_path)  # roll back: old table intact
+        raise
+    shutil.rmtree(aside)
     scan = spark.read.parquet(path)
     manifest = (
         scan.select(

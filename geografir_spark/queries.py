@@ -1052,7 +1052,14 @@ def _rare_ngram_sql(dialect: str, *, rare_below: int = 50) -> str:
     Two aggregations: corpus bigram counts (vocab-bounded), then a
     broadcast-able join back to per-doc bigrams."""
     if dialect == "spark":
-        bg = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        # guard: sequence(1, 0) generates a DESCENDING [1, 0] for texts of
+        # length <= 1 (spurious 1-char "bigrams"), while DuckDB's
+        # range(1, length(text)) is empty — same hazard _shingles_expr guards
+        bg = (
+            "CASE WHEN length(text) >= 2 THEN"
+            " transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
         ex = f"explode({bg})"
     else:
         bg = "list_transform(range(1, length(text)), i -> text[i:i+1])"

@@ -53,3 +53,22 @@ def test_asof_join_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="how must be"):
         asof_join(left, right, keys=["k"], how="full")
+
+
+def test_asof_join_rejects_colliding_and_reserved_columns(spark):
+    """ADVICE r2: a left column named like a right payload column was
+    silently overwritten; internal __ts/__side/__r names were silently
+    assumed free. Both now raise up front."""
+    import pytest
+
+    from geografir_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 5)], "k INT, ts INT, v INT")
+    right = spark.createDataFrame([(1, 9, 7)], "k INT, ts INT, v INT")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, keys=["k"])
+
+    left2 = spark.createDataFrame([(1, 10, 5)], "k INT, ts INT, `__side` INT")
+    right2 = spark.createDataFrame([(1, 9, 7)], "k INT, ts INT, w INT")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left2, right2, keys=["k"])

@@ -98,3 +98,47 @@ def test_cover_degenerate_polygon(spark):
 
     exp = int(cells.encode_np(np.array([3.1]), np.array([7.2]), 8)[0])
     assert rows[0]["cell"] == exp
+
+
+def test_rare_ngram_short_docs_match_oracle(spark, tmp_path):
+    """ADVICE r2: texts of length <= 1 must yield ZERO bigrams in both
+    dialects — Spark's unguarded sequence(1, length-1) generated a
+    DESCENDING [1, 0] (spurious 1-char "bigrams") while DuckDB's
+    range(1, length(text)) was empty. Parity on a corpus of empty/1-char/
+    normal docs is the regression gate."""
+    import duckdb
+    import pandas as pd
+
+    from geografir_spark.queries import _rare_ngram_sql
+
+    rows = [
+        (1, "", "a"),
+        (2, "x", "a"),
+        (3, "ab", "b"),
+        (4, "hello world", "b"),
+        (5, " ", "c"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    p = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(p)
+
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = (
+        spark.sql(_rare_ngram_sql("spark"))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    exp = (
+        con.execute(_rare_ngram_sql("duckdb"))
+        .fetchdf()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con.close()
+    spark.catalog.dropTempView("documents")
+    assert list(got["source"]) == list(exp["source"])
+    for c in ("n_docs", "total_rare", "max_rare", "n_flagged"):
+        assert [int(v) for v in got[c]] == [int(v) for v in exp[c]], c

@@ -201,6 +201,40 @@ def test_pip_join_excludes_bitten_points(spark):
     assert got == [2, 3]
 
 
+def test_polygons_intersect_multipolygon_part_containment():
+    """VERDICT r2 #3: a MULTIPOLYGON whose FIRST part is disjoint from the
+    other polygon but whose SECOND part lies wholly inside it (no edge
+    crossings) must still intersect — the containment term tests one anchor
+    vertex per part, not just the first part's first vertex. Reference
+    7-type discipline (geometry/tests/test_geometry.py:19-37)."""
+    big = wkt.parse_wkt("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))")
+    # part 1 far away (disjoint), part 2 strictly inside `big`
+    mp = wkt.parse_wkt(
+        "MULTIPOLYGON (((200 200, 210 200, 210 210, 200 210, 200 200)),"
+        " ((40 40, 60 40, 60 60, 40 60, 40 40)))"
+    )
+    assert kernels.polygons_intersect(mp, big)
+    assert kernels.polygons_intersect(big, mp)  # both directions
+    # and a genuinely disjoint multipolygon still reads False
+    far = wkt.parse_wkt(
+        "MULTIPOLYGON (((200 200, 210 200, 210 210, 200 210, 200 200)),"
+        " ((300 300, 310 300, 310 310, 300 310, 300 300)))"
+    )
+    assert not kernels.polygons_intersect(far, big)
+    assert not kernels.polygons_intersect(big, far)
+    # containment inside a HOLE is not an intersection of interiors under
+    # even-odd: the anchor of the contained part reads outside
+    donut = wkt.parse_wkt(
+        "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0),"
+        " (30 30, 70 30, 70 70, 30 70, 30 30))"
+    )
+    inner = wkt.parse_wkt(
+        "MULTIPOLYGON (((200 200, 210 200, 210 210, 200 210, 200 200)),"
+        " ((45 45, 55 45, 55 55, 45 55, 45 45)))"
+    )
+    assert not kernels.polygons_intersect(inner, donut)
+
+
 def test_debug_reprs():
     """G4/G8/R19: debug repr parity shapes (geometry.py:242-245,
     bounding_box.py:176-179, raster_metadata.py:220-224)."""

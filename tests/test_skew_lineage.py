@@ -160,3 +160,20 @@ def test_connected_components_chain_and_cliques(spark):
     assert {got[i] for i in (100, 101, 102)} == {100}
     assert {got[i] for i in (200, 201)} == {200}
     assert len(got) == 7 + 3 + 2
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r2: a component whose diameter exceeds max_iter must FAIL
+    loudly, not silently return split components."""
+    import pytest
+
+    from geografir_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 12)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # and with a sufficient bound the same chain converges to one component
+    got = {r["id"]: r["label"] for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
