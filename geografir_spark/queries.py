@@ -280,6 +280,82 @@ def q_pip_zone_counts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# L-shaped CONCAVE zones (6 vertices, notch at V3) for the PIP join gate:
+# every coordinate is a dyadic rational (multiples of 45/32), so the WKT
+# string roundtrip and both engines' doubles are bit-identical; offsets of
+# half a res-6 cell (2.8125 lon / 1.40625 lat) keep zone edges OFF the cell
+# lattice so full-cell classification runs the general corners+SAT path,
+# not the axis-rectangle fast path (VERDICT r2 #3: rectangles-only
+# pip_zone_counts never exercised the exact classifier end-to-end).
+_L_X0 = "(-165.9375 + CAST(n_nationkey % 6 AS DOUBLE) * 22.5)"
+_L_Y0 = "(-60.46875 + CAST(n_nationkey % 4 AS DOUBLE) * 28.125)"
+
+_L_EDGES_SQL = f"""
+    lzv AS (SELECT n_nationkey AS zone_id, {_L_X0} AS x0, {_L_Y0} AS y0
+            FROM nation),
+    ledges AS (
+      SELECT zone_id, x0 AS ax, y0 AS ay, x0 + 45.0 AS bx, y0 AS byy FROM lzv
+      UNION ALL SELECT zone_id, x0 + 45.0, y0, x0 + 45.0, y0 + 11.25 FROM lzv
+      UNION ALL SELECT zone_id, x0 + 45.0, y0 + 11.25, x0 + 22.5, y0 + 11.25 FROM lzv
+      UNION ALL SELECT zone_id, x0 + 22.5, y0 + 11.25, x0 + 22.5, y0 + 22.5 FROM lzv
+      UNION ALL SELECT zone_id, x0 + 22.5, y0 + 22.5, x0, y0 + 22.5 FROM lzv
+      UNION ALL SELECT zone_id, x0, y0 + 22.5, x0, y0 FROM lzv
+    )
+"""
+
+_L_WKT_SQL = (
+    "concat('POLYGON ((',"
+    " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), ', ',"
+    " CAST(x0 + 45.0 AS STRING), ' ', CAST(y0 AS STRING), ', ',"
+    " CAST(x0 + 45.0 AS STRING), ' ', CAST(y0 + 11.25 AS STRING), ', ',"
+    " CAST(x0 + 22.5 AS STRING), ' ', CAST(y0 + 11.25 AS STRING), ', ',"
+    " CAST(x0 + 22.5 AS STRING), ' ', CAST(y0 + 22.5 AS STRING), ', ',"
+    " CAST(x0 AS STRING), ' ', CAST(y0 + 22.5 AS STRING), ', ',"
+    " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), '))') AS geom_wkt"
+)
+
+
+@register(
+    "pip_zone_counts_concave",
+    f"""
+    WITH {_L_EDGES_SQL},
+    pts AS ({_POINTS_SQL}),
+    ins AS (
+      SELECT p.point_id, e.zone_id,
+             sum(CASE WHEN ((e.ay > p.lat) != (e.byy > p.lat))
+                       AND p.lon < e.ax + (p.lat - e.ay) * (e.bx - e.ax)
+                           / (CASE WHEN e.byy - e.ay = 0.0 THEN 1.0
+                                   ELSE e.byy - e.ay END)
+                      THEN 1 ELSE 0 END) AS crossings
+      FROM pts p CROSS JOIN ledges e
+      GROUP BY p.point_id, p.lon, p.lat, e.zone_id
+    )
+    SELECT zone_id, count(*) AS n_points,
+           CAST(sum(point_id) AS BIGINT) AS sum_ids
+    FROM ins WHERE crossings % 2 = 1
+    GROUP BY zone_id
+    """,
+)
+def q_pip_zone_counts_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP spatial join against CONCAVE (L-shaped) polygon zones: the
+    full/partial cover classifier (corners-inside + separating-axis
+    edge-vs-cell test, geo/kernels.py:cover_geometry) runs its general
+    polygon path end-to-end, full cells skip refine, partial cells run the
+    exact even-odd test. The oracle replays the identical IEEE
+    crossing-number expression per (point, edge) in pure SQL, so the match
+    is bit-exact including boundary points."""
+    from geografir_spark.operators.pip_join import spatial_join_pip
+
+    zones = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS zone_id", f"{_L_X0} AS x0", f"{_L_Y0} AS y0"
+    ).selectExpr("zone_id", _L_WKT_SQL)
+    pts = cells.with_cell(_points_df(spark, sf_dir), "lon", "lat", PIP_RES)
+    joined = spatial_join_pip(pts, zones, res=PIP_RES)
+    return joined.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids")
+    )
+
+
 _TRI_X0 = "(-67.5 + CAST(n_nationkey % 5 AS DOUBLE) * 22.5 + 3.75)"
 _TRI_Y0 = "(-33.75 + CAST(n_nationkey % 3 AS DOUBLE) * 11.25 + 2.8125)"
 # triangle V0=(x0,y0), V1=V0+(28.125,5.625), V2=V0+(9.375,19.6875) — every
