@@ -20,7 +20,7 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from geografir_spark.queries import QUERIES  # noqa: E402
+from geografir_spark.queries import QUERIES, resolve_oracle  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,5 +35,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for each SQL-expressible query."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    """DuckDB-runnable oracle SQL for each SQL-expressible query (lazy
+    oracles — e.g. the IVF one, which trains its centroid literals from
+    the sf0.01 data first — are resolved here)."""
+    return {
+        name: resolve_oracle(q)
+        for name, q in QUERIES.items()
+        if q.oracle is not None
+    }

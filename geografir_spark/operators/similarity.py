@@ -263,14 +263,22 @@ def ivf_topk(
     equi-join → exact cosine refine → per-probe window top-k).
 
     Training: ``train_sample`` vectors taken deterministically by
-    xxhash64(id) order (TakeOrderedAndProject — a top-k, not a full sort),
-    clustered on the driver. At 100 TB the sample is still ~4k rows; the
-    broadcast centroid matrix is n_lists × dim doubles (a few hundred KB)."""
+    hash60(id) order (TakeOrderedAndProject — a top-k, not a full sort),
+    clustered on the driver. hash60 is the md5-derived cross-engine hash
+    (operators/text.py), so the sample — and therefore the centroid
+    matrix — is replicable OUTSIDE Spark: queries._ivf_oracle_sql replays
+    the sample + k-means in plain numpy and embeds the centroids as SQL
+    literals, making the whole approximate pipeline oracle-checkable.
+    At 100 TB the sample is still ~4k rows; the broadcast centroid matrix
+    is n_lists × dim doubles (a few hundred KB)."""
     from pyspark.sql import functions as F
 
+    from geografir_spark.operators.text import hash60_expr
+
+    h = hash60_expr(f"CAST({target_id} AS STRING)", "spark")
     sample = (
         targets.select(target_id, target_vec)
-        .orderBy(F.xxhash64(F.col(target_id)))
+        .orderBy(F.expr(h), F.col(target_id))
         .limit(train_sample)
         .toPandas()
     )

@@ -31,13 +31,21 @@ ROLLUP_RES = 4   # coarse resolution for hierarchy rollups
 @dataclass
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # DuckDB SQL, or None → rows-only check
+    # DuckDB SQL, a zero/one-arg callable returning it (oracles that must
+    # train/derive constants from the sf0.01 data first — e.g. IVF
+    # centroids), or None → rows-only check
+    oracle: "Optional[str | Callable[..., str]]"
 
 
 QUERIES: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: Optional[str]):
+def resolve_oracle(q: QueryDef) -> Optional[str]:
+    """The oracle SQL string for a query (invoking lazy generators)."""
+    return q.oracle() if callable(q.oracle) else q.oracle
+
+
+def register(name: str, oracle: "Optional[str | Callable[..., str]]"):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ship the package to executor Python workers (no-op when
@@ -1277,12 +1285,87 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(probes, targets, k=_ANN_K, dim=64, n_planes=4, n_tables=8)
 
 
-@register("ann_ivf_topk", None)  # approximate — no SQL oracle (rows-only)
+_IVF_LISTS = 32
+_IVF_PROBES_N = 8
+
+
+def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of the FULL IVF-Flat pipeline (VERDICT r2 #6: the
+    centroids are deterministic, so train FIRST, embed them as literals).
+
+    The training sample is the 4,096 rows of ``embeddings`` in
+    (hash60(vec_id), vec_id) order — hash60 is plain md5, replayed here
+    with hashlib — and ``train_centroids_np`` is RNG-free, so the numpy
+    matrix trained here is bit-identical to the one the Spark query trains
+    at the same sf. The SQL then replays assignment (argmax dot, ties to
+    the lower list id — numpy argmax/stable-argsort semantics), the
+    n_probes inverted-list join, exact cosine refine, and ranking.
+    Like the LSH oracle, assignment compares dot products that numpy and
+    DuckDB may round differently in the last ulp; a flip needs two
+    centroids tied within ~1e-16 — not observed on this corpus."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geografir_spark.operators.similarity import train_centroids_np
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    vecs = tbl.column("embedding").to_pylist()
+    h = np.asarray(
+        [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16) for i in ids],
+        dtype=np.uint64,
+    )
+    order = np.lexsort((ids, h))[:4096]
+    X = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    C = train_centroids_np(X, _IVF_LISTS)
+    rows = ", ".join(
+        f"({j}, CAST([" + ", ".join(repr(float(c)) for c in C[j]) + "] AS DOUBLE[]))"
+        for j in range(C.shape[0])
+    )
+    return f"""
+    WITH centroids(list_id, coefs) AS (VALUES {rows}),
+    p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+          WHERE vec_id < {_ANN_PROBES}),
+    t AS (SELECT vec_id AS neighbor_id, embedding AS tvec FROM embeddings),
+    td AS (SELECT neighbor_id, tvec, list_id,
+                  list_dot_product(CAST(tvec AS DOUBLE[]), coefs) AS dp
+           FROM t CROSS JOIN centroids),
+    ta AS (SELECT neighbor_id, tvec, list_id,
+                  row_number() OVER (PARTITION BY neighbor_id
+                                     ORDER BY dp DESC, list_id ASC) AS rn
+           FROM td),
+    tl AS (SELECT neighbor_id, tvec, list_id FROM ta WHERE rn = 1),
+    pd_ AS (SELECT probe_id, pvec, list_id,
+                   list_dot_product(CAST(pvec AS DOUBLE[]), coefs) AS dp
+            FROM p CROSS JOIN centroids),
+    pa AS (SELECT probe_id, pvec, list_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dp DESC, list_id ASC) AS rn
+           FROM pd_),
+    pl AS (SELECT probe_id, pvec, list_id FROM pa WHERE rn <= {_IVF_PROBES_N}),
+    cand AS (SELECT pl.probe_id, pl.pvec, tl.neighbor_id, tl.tvec
+             FROM pl JOIN tl ON pl.list_id = tl.list_id
+             WHERE pl.probe_id != tl.neighbor_id),
+    d AS (SELECT probe_id, neighbor_id,
+                 list_cosine_similarity(pvec, tvec) AS cs FROM cand),
+    r AS (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY cs DESC, neighbor_id ASC) AS rank
+          FROM d)
+    SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_ivf_topk", _ivf_oracle_sql)  # lazily generated (trains first)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate cosine top-k: spherical-kmeans coarse quantizer
     (deterministic, driver-trained on a hash-ordered sample) → inverted-list
     equi-join → exact refine. The training-pass ANN scale path; shuffle
-    volume |targets| + |probes|×n_probes vs LSH's n_tables× replication."""
+    volume |targets| + |probes|×n_probes vs LSH's n_tables× replication.
+    Oracle-checked end-to-end: _ivf_oracle_sql retrains the identical
+    centroids outside Spark and replays the full pipeline in DuckDB."""
     from geografir_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1290,7 +1373,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id AS probe_id", "embedding AS pvec"
     )
     targets = emb.selectExpr("vec_id AS neighbor_id", "embedding AS tvec")
-    return ivf_topk(probes, targets, k=_ANN_K, n_lists=32, n_probes=8)
+    return ivf_topk(
+        probes, targets, k=_ANN_K, n_lists=_IVF_LISTS, n_probes=_IVF_PROBES_N
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -99,10 +99,10 @@ def _all_query_names():
 
 @pytest.mark.parametrize("name", _all_query_names())
 def test_query_matches_oracle(spark, name):
-    from geografir_spark.queries import QUERIES
+    from geografir_spark.queries import QUERIES, resolve_oracle
 
     q = QUERIES[name]
-    _compare(name, q.fn(spark, SF_DIR), _duck(q.oracle))
+    _compare(name, q.fn(spark, SF_DIR), _duck(resolve_oracle(q)))
 
 
 def test_entry_smoke(spark):
