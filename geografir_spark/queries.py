@@ -1567,6 +1567,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_jaccard_refine_sql(dialect: str) -> str:
+    """MinHash-LSH candidates → exact jaccard refine, end-to-end in one
+    dual-dialect statement — the SCALE-CORRECT composition of the two
+    dedup stages (VERDICT r2: ngram_jaccard_pairs as written is
+    O(block²) and must never run on a Zipfian corpus; the production form
+    refines LSH candidates only, O(co-bucketed pairs)). Both stages are
+    md5/integer-exact, so the whole pipeline is oracle-checkable."""
+    from geografir_spark.operators import dedup
+
+    cand = dedup.minhash_pairs_sql("documents", "doc_id", "text", dialect)
+    if dialect == "spark":
+        ta, tb = "array_distinct(split(a.text, ' '))", "array_distinct(split(b.text, ' '))"
+        inter = f"size(array_intersect({ta}, {tb}))"
+        uni = f"size(array_union({ta}, {tb}))"
+    else:
+        ta, tb = "list_distinct(string_split(a.text, ' '))", "list_distinct(string_split(b.text, ' '))"
+        inter = f"len(list_intersect({ta}, {tb}))"
+        uni = f"len(list_distinct(list_concat({ta}, {tb})))"
+    return f"""
+    WITH cand AS ({cand})
+    SELECT c.doc_a, c.doc_b, {inter} AS n_common, {uni} AS n_union
+    FROM cand c
+      JOIN documents a ON a.doc_id = c.doc_a
+      JOIN documents b ON b.doc_id = c.doc_b
+    WHERE {inter} * 10 >= {uni} * 3
+    """
+
+
+@register("lsh_jaccard_refine", _lsh_jaccard_refine_sql("duckdb"))
+def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape: LSH band-bucket candidates (shuffle
+    O(docs × bands)) → exact token-set jaccard ≥ 0.3 on candidates only —
+    never all blocked pairs. Integer threshold keeps the predicate
+    float-free; the DuckDB oracle replays signatures → buckets →
+    candidates → refine identically."""
+    return _sql_query(spark, sf_dir, _lsh_jaccard_refine_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing + the byte-identical-text invariant
 # ---------------------------------------------------------------------------
