@@ -1639,10 +1639,34 @@ def q_html_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("binary_features", None)  # feature vectors — rows-only check
+_BINARY_FEATURES_ORACLE = f"""
+    WITH pages AS ({pages_select_sql('documents')}),
+    b AS (SELECT page_id,
+                 hex(encode('<html>' || text || '</html>')) AS hx,
+                 octet_length(encode('<html>' || text || '</html>')) AS nb
+          FROM pages),
+    per AS (SELECT page_id, nb,
+                   list_transform(range(0, nb), i ->
+                     CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS BIGINT), 2))
+                          AS BIGINT)) AS bl
+            FROM b)
+    SELECT count(*) AS n,
+           CAST(sum(nb) AS BIGINT) AS total_bytes,
+           CAST(sum(list_aggregate(bl, 'sum')) AS BIGINT) AS total_byte_sum,
+           CAST(max(len(list_distinct(bl))) AS INT) AS max_distinct
+    FROM per
+"""
+
+
+@register("binary_features", _BINARY_FEATURES_ORACLE)
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary feature extraction (byte-histogram stand-in for media
-    decode): real schema/batching/aggregation over a binary column."""
+    decode): real schema/batching/aggregation over a binary column.
+
+    Oracle-checked (was rows-only): the Arrow kernel's outputs are integer
+    byte statistics, which DuckDB replays by iterating the hex() encoding
+    of the same payload — n_bytes, the byte-value sum (histogram · weights
+    ≡ Σ bytes), and the distinct-byte count are all exact integers."""
     from geografir_spark.operators.multimodal import extract_binary_features
     from geografir_spark.shipping import ensure_shipped
 
@@ -1961,13 +1985,44 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("frame_samples", None)  # media plumbing — rows-only check
+# The 16×16 → 8×8 nearest resize (pixel-center mapping) keeps exactly the
+# histogram bins at odd row AND odd column indices: ys = xs = min(2i+1, 15)
+# (multimodal.resize_nearest_np). Bin b counts bytes equal to b, row = b»4,
+# col = b & 15 — so a frame's "mass" is simply the count of window bytes
+# whose high nibble and low nibble are both odd. That reduction makes the
+# whole sample→decode-stub→resize→aggregate pipeline an integer statistic
+# DuckDB can replay from hex(payload).
+_FRAME_SAMPLES_ORACLE = f"""
+    WITH pages AS ({pages_select_sql('documents')}),
+    b AS (SELECT page_id,
+                 hex(encode('<html>' || text || '</html>')) AS hx,
+                 octet_length(encode('<html>' || text || '</html>')) AS nb
+          FROM pages),
+    fr AS (SELECT page_id, nb, hx, f.frame_idx,
+                  (greatest(nb - 256, 0) * f.frame_idx) // 3 AS off
+           FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_idx) f),
+    m AS (SELECT frame_idx,
+                 len(list_filter(range(0, least(256, nb - off)), i ->
+                     ((CAST(('0x' || substr(hx, CAST((off + i) * 2 + 1 AS BIGINT), 2))
+                            AS BIGINT) // 16) % 2 = 1)
+                     AND ((CAST(('0x' || substr(hx, CAST((off + i) * 2 + 1 AS BIGINT), 2))
+                                AS BIGINT) % 16) % 2 = 1)
+                 )) AS mass
+          FROM fr)
+    SELECT frame_idx, count(*) AS n_frames, CAST(sum(mass) AS DOUBLE) AS total_mass
+    FROM m GROUP BY frame_idx ORDER BY frame_idx
+"""
+
+
+@register("frame_samples", _FRAME_SAMPLES_ORACLE)
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling + resize over opaque binary payloads:
     payload → 4 evenly-spaced frame windows → byte-histogram features →
     nearest-resize 16×16 → 8×8 → per-frame-slot aggregate. The frame-sample
     and resize stages of the multimodal pipeline (decode remains the
-    documented stub seam)."""
+    documented stub seam). Oracle-checked (was rows-only): see
+    _FRAME_SAMPLES_ORACLE for the odd-nibble reduction that lets DuckDB
+    replay the pipeline as integer byte statistics."""
     from geografir_spark.operators.multimodal import resize_frames, sample_frames
 
     p = load_pages(spark, sf_dir).selectExpr(
