@@ -1203,6 +1203,40 @@ def q_rare_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _rare_ngram_sql("spark"), repartition=True)
 
 
+def _rare_terms_sql(dialect: str, *, k: int = 3) -> str:
+    """Per-source rarest terms — the integer-exact TF-IDF analog (rank by
+    corpus document frequency ascending instead of multiplying by a float
+    idf, so both engines agree bit-for-bit). Two hash aggs (corpus df,
+    per-source presence) + a broadcast-able join back + one window: the
+    term-statistics primitive behind vocabulary pruning and domain-drift
+    monitoring in a training-data pipeline. df is vocab-bounded, so the
+    join's build side is small at any corpus size."""
+    if dialect == "spark":
+        ex = "explode(array_distinct(split(text, ' ')))"
+    else:
+        ex = "unnest(list_distinct(string_split(text, ' ')))"
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {ex} AS tok FROM documents),
+         df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         st AS (SELECT source, tok, count(*) AS n_docs_src
+                FROM toks GROUP BY source, tok),
+         r AS (SELECT s.source, s.tok, s.n_docs_src, d.df,
+                      row_number() OVER (PARTITION BY s.source
+                                         ORDER BY d.df ASC, s.tok ASC) AS rnk
+               FROM st s JOIN df d ON s.tok = d.tok)
+    SELECT source, tok, CAST(df AS BIGINT) AS df,
+           CAST(n_docs_src AS BIGINT) AS n_docs_src, rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@register("rare_terms_per_source", _rare_terms_sql("duckdb"))
+def q_rare_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 corpus-rarest terms per source with corpus df and per-source
+    doc counts (integer-exact TF-IDF analog)."""
+    return _sql_query(spark, sf_dir, _rare_terms_sql("spark"), repartition=True)
+
+
 def _lang_id_sql(dialect: str) -> str:
     from geografir_spark.operators import text as textops
 
