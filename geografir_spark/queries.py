@@ -578,6 +578,53 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(tiles, cover)
 
 
+@register(
+    "focal_stats",
+    f"""
+    WITH grid AS (SELECT t1.xi, t2.yi
+                  FROM (SELECT unnest(range(5, 11)) AS xi) t1,
+                       (SELECT unnest(range(5, 11)) AS yi) t2),
+         cellt AS ({cells.nested_sql("SELECT xi, yi FROM grid", _ZONAL_CELL_STEPS)}),
+         px AS (SELECT cell, xi, yi, unnest(range(0, 64)) AS i FROM cellt),
+         pv AS (SELECT cell,
+                       xi * 8 + (i % 8) AS gx,
+                       yi * 8 + (7 - i // 8) AS gy,
+                       {_ZONAL_PIXEL_VALUE} AS val
+                FROM px),
+         f AS (SELECT a.cell, a.gx, a.gy,
+                      count(*) AS n_nb,
+                      sum(CASE WHEN b.val != -1.0 THEN b.val ELSE 0 END) AS fsum
+               FROM pv a JOIN pv b
+                 ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+               GROUP BY a.cell, a.gx, a.gy)
+    SELECT cell, count(*) AS n_px,
+           CAST(sum(fsum) AS DOUBLE) AS sum_focal,
+           CAST(max(fsum) AS DOUBLE) AS max_focal
+    FROM f WHERE n_nb = 9
+    GROUP BY cell
+    """,
+)
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal-sum statistics over the tiled mosaic via halo exchange
+    (raster/focal.py): only O(perimeter) border strips cross the shuffle,
+    the focal kernel runs per tile on the assembled padded array. The
+    oracle rebuilds the global pixel lattice in SQL and computes the same
+    masked 3×3 sums with a banded self-join — supported (full-kernel)
+    pixels only, everything integer-valued so the hash is exact."""
+    from geografir_spark.raster.focal import focal_stats_tiles
+
+    grid = (
+        spark.range(5, 11).selectExpr("id AS xi")
+        .crossJoin(spark.range(5, 11).selectExpr("id AS yi"))
+    )
+    t = cells.apply_steps(grid, _ZONAL_CELL_STEPS)
+    tiles = t.selectExpr(
+        "cell", "xi", "yi",
+        f"transform(sequence(0, 63), i -> {_ZONAL_PIXEL_VALUE}) AS pixels",
+    )
+    return focal_stats_tiles(tiles, nodata=-1.0, tile_px=8)
+
+
 # ---------------------------------------------------------------------------
 # Reprojection as a query (st_transform lifted; EPSG:3857 is closed-form SQL
 # on both engines, so the vendored transform is oracle-checkable end-to-end)
