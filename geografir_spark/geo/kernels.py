@@ -129,6 +129,27 @@ def cover_geometry(wkt_str: str, res: int) -> tuple[np.ndarray, np.ndarray]:
     return cover, np.zeros(len(cover), dtype=bool)
 
 
+def polygon_area_centroid(geom) -> "tuple[float, float, float]":
+    """Signed shoelace area + centroid of a POLYGON/MULTIPOLYGON (summed
+    over all rings — holes/parts contribute by winding). The expressions
+    are the exact IEEE terms the SQL oracle replays:
+    a2 = Σ (x0·y1 − x1·y0); area = a2/2; cx = Σ (x0+x1)·cross / (3·a2);
+    on the engine's dyadic-coordinate fixtures every intermediate is an
+    exact dyadic rational within 53 bits, so numpy's pairwise summation
+    and SQL's sequential SUM produce identical doubles."""
+    a2 = 0.0
+    sx = 0.0
+    sy = 0.0
+    for ring in wkt.polygon_rings(geom):
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        cross = x0 * y1 - x1 * y0
+        a2 += cross.sum()
+        sx += ((x0 + x1) * cross).sum()
+        sy += ((y0 + y1) * cross).sum()
+    return a2 / 2.0, sx / (3.0 * a2), sy / (3.0 * a2)
+
+
 def _orient(px, py, qx, qy, rx, ry):
     """Signed area orientation of r relative to directed line p→q — the
     EXACT expression the SQL oracle evaluates: (qx-px)*(ry-py)-(qy-py)*(rx-px)."""

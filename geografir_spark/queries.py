@@ -364,6 +364,54 @@ def q_pip_zone_counts_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zone_area_centroid",
+    f"""
+    WITH {_L_EDGES_SQL},
+    s AS (SELECT zone_id,
+                 sum(ax * byy - bx * ay) AS a2,
+                 sum((ax + bx) * (ax * byy - bx * ay)) AS sx,
+                 sum((ay + byy) * (ax * byy - bx * ay)) AS sy
+          FROM ledges GROUP BY zone_id)
+    SELECT zone_id, a2 / 2.0 AS area,
+           sx / (3.0 * a2) AS cx, sy / (3.0 * a2) AS cy
+    FROM s
+    """,
+)
+def q_zone_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_area / st_centroid lifted to a columnar operator: the shoelace
+    kernel (geo/kernels.py:polygon_area_centroid) runs Arrow-batched over
+    the concave L-zone WKTs; the oracle replays the identical shoelace
+    terms over the edge CTE. Dyadic coordinates keep every intermediate an
+    exact double, so the hash matches bit-for-bit."""
+    import pandas as pd
+
+    from geografir_spark.geo import kernels as gk
+    from geografir_spark.geo import wkt as gwkt
+    from geografir_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    zones = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS zone_id", f"{_L_X0} AS x0", f"{_L_Y0} AS y0"
+    ).selectExpr("zone_id", _L_WKT_SQL)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for zid, w in zip(pdf["zone_id"], pdf["geom_wkt"]):
+                area, cx, cy = gk.polygon_area_centroid(gwkt.parse_wkt(w))
+                recs.append((zid, float(area), float(cx), float(cy)))
+            yield pd.DataFrame.from_records(
+                recs, columns=["zone_id", "area", "cx", "cy"]
+            )
+
+    return zones.mapInPandas(
+        kernel, schema="zone_id bigint, area double, cx double, cy double"
+    )
+
+
 _TRI_X0 = "(-67.5 + CAST(n_nationkey % 5 AS DOUBLE) * 22.5 + 3.75)"
 _TRI_Y0 = "(-33.75 + CAST(n_nationkey % 3 AS DOUBLE) * 11.25 + 2.8125)"
 # triangle V0=(x0,y0), V1=V0+(28.125,5.625), V2=V0+(9.375,19.6875) — every

@@ -371,3 +371,26 @@ def test_concave_zone_cover_has_full_cells(spark):
         assert not kernels.points_in_polygon(
             np.array([nx]), np.array([ny]), g
         )[0]
+
+
+def test_polygon_area_centroid():
+    """Shoelace kernel: square, square-with-hole (winding subtracts),
+    multipolygon parts sum."""
+    sq = wkt.parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    area, cx, cy = kernels.polygon_area_centroid(sq)
+    assert (area, cx, cy) == (16.0, 2.0, 2.0)
+    # hole wound clockwise subtracts its area
+    holed = wkt.parse_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))"
+    )
+    area, cx, cy = kernels.polygon_area_centroid(holed)
+    assert area == 12.0 and (cx, cy) == (2.0, 2.0)
+    # two disjoint parts: area adds, centroid is the area-weighted mean
+    mp = wkt.parse_wkt(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+        " ((10 0, 14 0, 14 4, 10 4, 10 0)))"
+    )
+    area, cx, cy = kernels.polygon_area_centroid(mp)
+    assert area == 4.0 + 16.0
+    assert cx == (4.0 * 1.0 + 16.0 * 12.0) / 20.0
+    assert cy == (4.0 * 1.0 + 16.0 * 2.0) / 20.0
