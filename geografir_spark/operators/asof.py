@@ -36,12 +36,22 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """All left columns + every non-key right column (null-filled when no
-    right row precedes a left row; such rows are dropped when
-    ``how='inner'``, kept when ``how='left'``)."""
+    right row matches a left row; such rows are dropped when
+    ``how='inner'``, kept when ``how='left'``).
+
+    ``direction='backward'`` (default) attaches the LATEST right row with
+    ``right.ts <= left.ts``; ``'forward'`` attaches the EARLIEST right row
+    with ``right.ts >= left.ts`` (both tie-inclusive) — the same
+    single-shuffle union trick with the scan order reversed."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     rpay = [c for c in right.columns if c not in keys and c != right_ts]
     # fail fast on silent-overwrite hazards: a left column sharing a right
     # payload name would be replaced by the right value, and the internal
@@ -76,9 +86,13 @@ def asof_join(
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[c]))
     u = l.unionByName(r.select(*l.columns))
+    # at equal ts the right row must precede the left row in scan order so
+    # ties match — __side (right=0, left=1) ascending does that for both
+    # directions; forward simply scans time descending
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .orderBy(ts_order, F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))

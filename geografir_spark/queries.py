@@ -2358,6 +2358,57 @@ def q_asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FWD_ORACLE = """
+    WITH ckpt AS (
+      SELECT user_id, ts, CAST(round(value * 100.0) AS BIGINT) AS ckpt_cents
+      FROM events WHERE event_id % 7 = 0
+    ),
+    probes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_id % 7 <> 0
+    ),
+    nxt AS (
+      SELECT p.user_id, p.ts, p.event_id, p.event_type, min(c.ts) AS cts
+      FROM probes p JOIN ckpt c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      GROUP BY p.user_id, p.ts, p.event_id, p.event_type
+    )
+    SELECT n.event_type AS event_type,
+           count(*) AS n_joined,
+           CAST(sum(c.ckpt_cents) AS BIGINT) AS sum_ckpt_cents,
+           CAST(sum(epoch_us(n.cts) - epoch_us(n.ts)) AS BIGINT) AS total_lead_us
+    FROM nxt n JOIN ckpt c ON c.user_id = n.user_id AND c.ts = n.cts
+    GROUP BY n.event_type
+"""
+
+
+@register("asof_forward_checkpoints", _ASOF_FWD_ORACLE)
+def q_asof_forward_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every probe event joined to its user's EARLIEST
+    checkpoint at-or-after its timestamp (the schedule-next-snapshot /
+    label-lookahead shape). Same single-shuffle union trick with the scan
+    reversed; the oracle computes min-following-ts then equi-joins back —
+    sound because checkpoint (user_id, ts) pairs are unique."""
+    from geografir_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ckpt = ev.filter("event_id % 7 = 0").selectExpr(
+        "user_id", "ts", "CAST(round(value * 100.0) AS BIGINT) AS ckpt_cents"
+    )
+    probes = ev.filter("event_id % 7 != 0").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    j = asof_join(probes, ckpt, keys=["user_id"], how="inner", direction="forward")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_joined"),
+        F.sum("ckpt_cents").alias("sum_ckpt_cents"),
+        F.sum(
+            F.expr("unix_micros(CAST(__asof_ts AS TIMESTAMP))")
+            - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        ).alias("total_lead_us"),
+    )
+
+
 def _host_sql(dialect: str) -> str:
     """Pages per url host — url host/path extraction (SURVEY §2B scalar
     strings). Split-based (1-indexed in DuckDB, 0-indexed in Spark) so no

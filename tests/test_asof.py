@@ -72,3 +72,36 @@ def test_asof_join_rejects_colliding_and_reserved_columns(spark):
     right2 = spark.createDataFrame([(1, 9, 7)], "k INT, ts INT, w INT")
     with pytest.raises(ValueError, match="reserved"):
         asof_join(left2, right2, keys=["k"])
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward attaches the EARLIEST right row at-or-after, tie-inclusive;
+    left rows after the last right row drop under how='inner' and null-fill
+    under how='left'."""
+    from geografir_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 15, "c"), (2, 1, "d")],
+        "k INT, ts INT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 12, 120), (2, 0, 5)], "k INT, ts INT, v INT"
+    )
+    got = {
+        r["tag"]: (r["v"], r["__asof_ts"])
+        for r in asof_join(
+            left, right, keys=["k"], how="inner", direction="forward"
+        ).collect()
+    }
+    assert got == {"a": (100, 10), "b": (100, 10)}  # tie at 10 matches; c, d drop
+    outer = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, keys=["k"], how="left", direction="forward"
+        ).collect()
+    }
+    assert outer == {"a": 100, "b": 100, "c": None, "d": None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, keys=["k"], direction="nearest")
