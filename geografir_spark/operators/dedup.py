@@ -134,6 +134,48 @@ def minhash_pairs_sql(
     """
 
 
+def incremental_minhash_sql(
+    rel: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    *,
+    new_pred: str,
+    seen_pred: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    """Cross-batch near-dup gate: NEW docs (rows matching ``new_pred`` over
+    the alias-free column name) that share an LSH band bucket with any
+    SEEN doc (``seen_pred``) — the incremental form a production ingest
+    runs instead of re-pairing the whole corpus. At scale the seen side is
+    a stored (band_idx, sig, doc) bucket table maintained incrementally;
+    the join shuffles O(|new| × bands) rows plus the matched buckets only.
+    Returns one row per flagged new doc with its match count and the
+    earliest seen match."""
+    from geografir_spark.geo.cells import nested_sql
+
+    sig_steps = minhash_signature_exprs(text_col, dialect, n_hashes, shingle_k)
+    sig_steps.append(band_sig_exprs(n_hashes, bands))
+    base = nested_sql(f"SELECT {id_col}, {text_col} FROM {rel}", sig_steps)
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col} AS doc, {b} AS band_idx, __band{b} AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({base}),
+         bandrows AS ({band_rows}),
+         cand AS (SELECT DISTINCT a.doc AS new_doc, b.doc AS seen_doc
+                  FROM bandrows a JOIN bandrows b
+                    ON a.band_idx = b.band_idx AND a.sig = b.sig
+                  WHERE ({new_pred.replace('__doc', 'a.doc')})
+                    AND ({seen_pred.replace('__doc', 'b.doc')}))
+    SELECT new_doc, count(*) AS n_seen_matches, min(seen_doc) AS first_seen
+    FROM cand GROUP BY new_doc
+    """
+
+
 def simhash_sql(rel: str, id_col: str, text_col: str, dialect: str) -> str:
     """64-bit SimHash per document: bit b set iff the majority of token
     hashes have bit b set. Token hash = shared md5-60-bit primitive; we use

@@ -1028,6 +1028,24 @@ def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _host_quota_sql("spark"))
 
 
+def _inc_minhash_sql(dialect: str) -> str:
+    from geografir_spark.operators import dedup
+
+    return dedup.incremental_minhash_sql(
+        "documents", "doc_id", "text", dialect,
+        new_pred="__doc % 2 = 1", seen_pred="__doc % 2 = 0",
+    )
+
+
+@register("incremental_minhash", _inc_minhash_sql("duckdb"))
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-dup gate (incremental_dedup's exact-hash sibling):
+    new-batch docs (odd ids) sharing an LSH band bucket with the seen
+    corpus (even ids), with match counts and earliest seen match. Full
+    pipeline oracle-replayed in DuckDB."""
+    return _sql_query(spark, sf_dir, _inc_minhash_sql("spark"), repartition=True)
+
+
 _INC_DEDUP_ORACLE = """
     WITH old AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
     fresh AS (
