@@ -1604,6 +1604,85 @@ def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NTILE_SQL = """
+    WITH r AS (
+      SELECT source,
+             ntile(4) OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS quartile,
+             n_chars
+      FROM documents
+    )
+    SELECT source, quartile, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM r GROUP BY source, quartile
+"""
+
+
+@register("ntile_doc_lengths", _NTILE_SQL)
+def q_ntile_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window coverage: per-source length quartiles (deterministic
+    total order) with per-bucket stats — same SQL text on both engines
+    (ntile's floor-based bucket rule is identical)."""
+    return _sql_query(spark, sf_dir, _NTILE_SQL)
+
+
+_DECORRELATE_SQL = """
+    WITH oc AS (SELECT o_custkey,
+                       CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+                FROM orders),
+    t AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM oc GROUP BY o_custkey),
+    n AS (SELECT c2.c_nationkey AS nk,
+                 CAST(sum(o2.cents) AS BIGINT) AS nsum_cents,
+                 count(DISTINCT o2.o_custkey) AS ncust
+          FROM customer c2 JOIN oc o2 ON o2.o_custkey = c2.c_custkey
+          GROUP BY c2.c_nationkey)
+    SELECT c.c_nationkey AS nation_key, count(*) AS n_big_spenders,
+           CAST(sum(t.total_cents) AS BIGINT) AS cents_sum
+    FROM customer c
+    JOIN t ON t.o_custkey = c.c_custkey
+    JOIN n ON n.nk = c.c_nationkey
+    WHERE t.total_cents * n.ncust > n.nsum_cents
+    GROUP BY c.c_nationkey
+"""
+
+
+@register("nation_big_spenders", _DECORRELATE_SQL)
+def q_nation_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (customers whose order total exceeds
+    their nation's per-customer average). Everything runs in per-row
+    integer CENTS, so sums are order-independent and the average enters
+    as the cross-multiplied comparison ``total × n_cust > nation_sum`` —
+    no float ever touches the predicate. The Spark side states the
+    CORRELATED scalar-subquery form and lets Catalyst decorrelate it into
+    the aggregated joins the oracle writes explicitly."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("__c")
+    o.createOrReplaceTempView("__o")
+    return spark.sql("""
+        WITH oc AS (SELECT o_custkey,
+                           CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+                    FROM __o),
+        t AS (SELECT o_custkey, sum(cents) AS total_cents
+              FROM oc GROUP BY o_custkey)
+        SELECT c.c_nationkey AS nation_key, count(*) AS n_big_spenders,
+               CAST(sum(t.total_cents) AS BIGINT) AS cents_sum
+        FROM __c c JOIN t ON t.o_custkey = c.c_custkey
+        WHERE t.total_cents * (
+            SELECT count(DISTINCT o2.o_custkey)
+            FROM __c c2 JOIN oc o2 ON o2.o_custkey = c2.c_custkey
+            WHERE c2.c_nationkey = c.c_nationkey
+        ) > (
+            SELECT sum(o2.cents)
+            FROM __c c2 JOIN oc o2 ON o2.o_custkey = c2.c_custkey
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        GROUP BY c.c_nationkey
+    """)
+
+
 @register(
     "active_customer_nations",
     """
