@@ -129,6 +129,44 @@ def cover_geometry(wkt_str: str, res: int) -> tuple[np.ndarray, np.ndarray]:
     return cover, np.zeros(len(cover), dtype=bool)
 
 
+def cover_linestring(wkt_str: str, res: int) -> np.ndarray:
+    """Covering cells of a LINESTRING/MULTILINESTRING at ``res``: every
+    cell whose closed rectangle intersects any segment (touching counts) —
+    the trajectory/road tiling primitive. Per segment: bbox candidate
+    cells, then the exact separating-axis segment-vs-rect test (the same
+    IEEE terms the SQL oracle replays). O(Σ segment-bbox cells); long
+    diagonal segments should be split upstream so candidate sets stay near
+    the supercover size."""
+    geom = wkt.parse_wkt(wkt_str)
+    kind, data = geom
+    if kind == "LINESTRING":
+        parts = [data]
+    elif kind == "MULTILINESTRING":
+        parts = list(data)
+    else:
+        raise wkt.WktError(f"not a line geometry: {kind}")
+    out = []
+    for arr in parts:
+        for k in range(len(arr) - 1):
+            x0, y0 = arr[k]
+            x1, y1 = arr[k + 1]
+            cand = cells.cover_bbox_np(
+                min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1), res
+            )
+            if len(cand) == 0:
+                continue
+            rminx, rminy, rmaxx, rmaxy = cells.cell_bounds_np(cand)
+            hit = segments_intersect_rects(
+                np.asarray([x0]), np.asarray([y0]),
+                np.asarray([x1]), np.asarray([y1]),
+                rminx, rminy, rmaxx, rmaxy,
+            )[0]
+            out.append(cand[hit])
+    if not out:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
 def polygon_area_centroid(geom) -> "tuple[float, float, float]":
     """Signed shoelace area + centroid of a POLYGON/MULTIPOLYGON (summed
     over all rings — holes/parts contribute by winding). The expressions

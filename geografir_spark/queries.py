@@ -412,6 +412,93 @@ def q_zone_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_RES = 5  # res-5 cells: 11.25° × 5.625°
+
+
+@register(
+    "linestring_cell_cover",
+    f"""
+    WITH lz AS (SELECT n_nationkey AS zone_id, {_L_X0} AS x0, {_L_Y0} AS y0
+                FROM nation),
+    segs AS (
+      SELECT zone_id, x0 AS ax, y0 AS ay,
+             x0 + 30.9375 AS bx, y0 + 16.875 AS byy FROM lz
+      UNION ALL
+      SELECT zone_id, x0 + 30.9375, y0 + 16.875,
+             x0 + 45.0, y0 + 2.8125 FROM lz
+    ),
+    xr AS (SELECT *,
+             CAST(floor((least(ax, bx) + 180.0) / 360.0 * 32.0) AS BIGINT) AS xlo,
+             CAST(floor((greatest(ax, bx) + 180.0) / 360.0 * 32.0) AS BIGINT) AS xhi,
+             CAST(floor((least(ay, byy) + 90.0) / 180.0 * 32.0) AS BIGINT) AS ylo,
+             CAST(floor((greatest(ay, byy) + 90.0) / 180.0 * 32.0) AS BIGINT) AS yhi
+           FROM segs),
+    cx AS (SELECT *, unnest(range(xlo, xhi + 1)) AS xi FROM xr),
+    cxy AS (SELECT *, unnest(range(ylo, yhi + 1)) AS yi FROM cx),
+    rect AS (SELECT *,
+               -180.0 + xi * 11.25 AS rminx, -180.0 + xi * 11.25 + 11.25 AS rmaxx,
+               -90.0 + yi * 5.625 AS rminy, -90.0 + yi * 5.625 + 5.625 AS rmaxy
+             FROM cxy),
+    hit AS (
+      SELECT DISTINCT zone_id, xi, yi FROM rect
+      WHERE least(ax, bx) <= rmaxx AND greatest(ax, bx) >= rminx
+        AND least(ay, byy) <= rmaxy AND greatest(ay, byy) >= rminy
+        AND NOT (
+          (((bx - ax) * (rminy - ay) - (byy - ay) * (rminx - ax)) > 0
+           AND ((bx - ax) * (rmaxy - ay) - (byy - ay) * (rminx - ax)) > 0
+           AND ((bx - ax) * (rminy - ay) - (byy - ay) * (rmaxx - ax)) > 0
+           AND ((bx - ax) * (rmaxy - ay) - (byy - ay) * (rmaxx - ax)) > 0)
+          OR
+          (((bx - ax) * (rminy - ay) - (byy - ay) * (rminx - ax)) < 0
+           AND ((bx - ax) * (rmaxy - ay) - (byy - ay) * (rminx - ax)) < 0
+           AND ((bx - ax) * (rminy - ay) - (byy - ay) * (rmaxx - ax)) < 0
+           AND ((bx - ax) * (rmaxy - ay) - (byy - ay) * (rmaxx - ax)) < 0)
+        )
+    ),
+    enc AS ({cells.nested_sql("SELECT zone_id, xi, yi FROM hit", cells.encode_idx_steps("xi", "yi", _LINE_RES))})
+    SELECT zone_id, count(*) AS n_cells, CAST(sum(cell) AS BIGINT) AS cell_sum
+    FROM enc GROUP BY zone_id
+    """,
+)
+def q_linestring_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory tiling: cells intersected by a 2-segment polyline per
+    zone (exact separating-axis segment-vs-cell test). The oracle
+    enumerates each segment's bbox candidate cells and replays the
+    identical SAT/overlap IEEE expressions, then Morton-encodes the
+    surviving (xi, yi) with the shared bit-spread steps — bit-exact."""
+    import pandas as pd
+
+    from geografir_spark.geo import kernels as gk
+    from geografir_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    zones = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS zone_id", f"{_L_X0} AS x0", f"{_L_Y0} AS y0"
+    ).selectExpr(
+        "zone_id",
+        "concat('LINESTRING (',"
+        " CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), ', ',"
+        " CAST(x0 + 30.9375 AS STRING), ' ', CAST(y0 + 16.875 AS STRING), ', ',"
+        " CAST(x0 + 45.0 AS STRING), ' ', CAST(y0 + 2.8125 AS STRING), ')')"
+        " AS geom_wkt",
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for zid, w in zip(pdf["zone_id"], pdf["geom_wkt"]):
+                for c in gk.cover_linestring(w, _LINE_RES):
+                    recs.append((zid, int(c)))
+            yield pd.DataFrame.from_records(recs, columns=["zone_id", "cell"])
+
+    cov = zones.mapInPandas(kernel, schema="zone_id bigint, cell bigint")
+    return cov.groupBy("zone_id").agg(
+        F.count("*").alias("n_cells"), F.sum("cell").alias("cell_sum")
+    )
+
+
 _TRI_X0 = "(-67.5 + CAST(n_nationkey % 5 AS DOUBLE) * 22.5 + 3.75)"
 _TRI_Y0 = "(-33.75 + CAST(n_nationkey % 3 AS DOUBLE) * 11.25 + 2.8125)"
 # triangle V0=(x0,y0), V1=V0+(28.125,5.625), V2=V0+(9.375,19.6875) — every

@@ -394,3 +394,35 @@ def test_polygon_area_centroid():
     assert area == 4.0 + 16.0
     assert cx == (4.0 * 1.0 + 16.0 * 12.0) / 20.0
     assert cy == (4.0 * 1.0 + 16.0 * 2.0) / 20.0
+
+
+def test_cover_linestring_supercover():
+    """Every cell the segment passes through is covered (touching counts),
+    cells away from the line are not, and a MULTILINESTRING unions parts."""
+    res = 6
+    cw, ch = cells.cell_size(res)
+    # horizontal segment through the middle of a row of cells
+    y = -90 + 10.5 * ch
+    x0, x1 = -180 + 3.25 * cw, -180 + 7.75 * cw
+    cov = kernels.cover_linestring(f"LINESTRING ({x0} {y}, {x1} {y})", res)
+    exp = cells.cover_bbox_np(x0, y, x1, y, res)
+    assert sorted(cov.tolist()) == sorted(exp.tolist())  # 5 cells in the row
+    assert len(cov) == 5
+    # diagonal: the anti-diagonal corner cells of the bbox are NOT hit
+    d = kernels.cover_linestring(
+        f"LINESTRING ({-180 + 3.1 * cw} {-90 + 3.1 * ch},"
+        f" {-180 + 5.9 * cw} {-90 + 5.9 * ch})", res)
+    bbox = cells.cover_bbox_np(
+        -180 + 3.1 * cw, -90 + 3.1 * ch, -180 + 5.9 * cw, -90 + 5.9 * ch, res)
+    assert len(d) < len(bbox)  # SAT prunes off-diagonal corners
+    import numpy as np
+
+    far_corner = cells.encode_np(
+        np.array([-180 + 3.5 * cw]), np.array([-90 + 5.5 * ch]), res)[0]
+    assert far_corner in bbox and far_corner not in d
+    # multilinestring unions two disjoint parts
+    m = kernels.cover_linestring(
+        f"MULTILINESTRING (({x0} {y}, {x1} {y}),"
+        f" ({-180 + 20.5 * cw} {-90 + 20.5 * ch}, {-180 + 21.5 * cw} {-90 + 20.5 * ch}))",
+        res)
+    assert len(m) == 5 + 2
