@@ -2618,3 +2618,127 @@ def q_host_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top hosts by page count — the url-host extraction + top-k shape a
     crawl-frontier dashboard runs (TakeOrderedAndProject, ties by host)."""
     return _sql_query(spark, sf_dir, _host_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup / OLS trend / Bloom pre-join (round 3)
+# ---------------------------------------------------------------------------
+
+def _url_canonical_sql(dialect: str) -> str:
+    """Canonical-URL dedup over deterministically-messied URLs: several
+    doc_ids differ only in case / default port / trailing slash / fragment /
+    query-param order and collapse to one canonical key."""
+    from geografir_spark.geo.cells import nested_sql
+    from geografir_spark.operators import urls
+
+    base = f"SELECT doc_id, {urls.messy_url_expr('doc_id')} AS raw_url FROM documents"
+    q = nested_sql(base, urls.canonical_url_steps("raw_url", dialect))
+    return f"""
+    SELECT canonical_url,
+           count(*) AS n_pages,
+           count(DISTINCT raw_url) AS n_raw_variants,
+           min(doc_id) AS keeper_doc_id
+    FROM ({q})
+    GROUP BY canonical_url
+    """
+
+
+@register("url_canonical_dedup", _url_canonical_sql("duckdb"))
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-3986-style URL normalization (lowercase scheme/host, strip :443 /
+    fragment / trailing slash, sort query params) then dedup on the
+    canonical key — the crawl-side normalization that precedes URL-keyed
+    dedup (the web analog of the reference's S3-URI normalization,
+    object_location.py:172-218). Map-only string exprs in codegen + one
+    hash agg; no Python, no extra shuffle."""
+    return _sql_query(spark, sf_dir, _url_canonical_sql("spark"))
+
+
+def _trend_sql(dialect: str) -> str:
+    """Per-event-type OLS slope of daily volume: integer-exact sufficient
+    statistics (k, Σx, Σy, Σxy, Σx²) then one literal double expression —
+    identical arithmetic both engines, so hashes match exactly."""
+    us = (
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    day = (
+        f"({us} DIV 86400000000)" if dialect == "spark" else f"({us} // 86400000000)"
+    )
+    slope = (
+        "(CAST(n_days * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n_days * sxx - sx * sx AS DOUBLE))"
+    )
+    return f"""
+    SELECT event_type, n_days, sx, sy, sxy, sxx,
+           {slope} AS slope_per_day,
+           ((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))
+            / CAST(n_days AS DOUBLE)) AS intercept
+    FROM (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(day) AS BIGINT) AS sx,
+             CAST(sum(n) AS BIGINT) AS sy,
+             CAST(sum(day * n) AS BIGINT) AS sxy,
+             CAST(sum(day * day) AS BIGINT) AS sxx
+      FROM (
+        SELECT event_type, {day} AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      ) GROUP BY event_type
+    )
+    WHERE n_days >= 2 AND (n_days * sxx - sx * sx) <> 0
+    """
+
+
+@register("event_daily_trend", _trend_sql("duckdb"))
+def q_event_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed group-wise linear regression via the aggregate-then-solve
+    pattern: the shuffle carries five BIGINT sufficient statistics per
+    group, never the rows — the closed-form solve is a per-group scalar
+    expression. At 100 TB this is the only regression shape that works:
+    one partial+final agg, O(groups) driver-free output."""
+    return _sql_query(spark, sf_dir, _trend_sql("spark"), views=("events",))
+
+
+def _bloom_sql(dialect: str) -> str:
+    """Bloom pre-join demo: membership filter over nation-0 customers probed
+    by every order; exact LEFT JOIN ground truth alongside measures the
+    false-positive count."""
+    from geografir_spark.operators import bloom
+
+    build = bloom.build_sql(
+        "SELECT c_custkey FROM customer WHERE c_nationkey = 0",
+        "c_custkey",
+        dialect,
+    )
+    member = bloom.member_expr("p.o_custkey", dialect, "f")
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_matches,
+           CAST(sum(CASE WHEN cand AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives
+    FROM (
+      SELECT p.o_custkey, {member} AS cand,
+             (k.c_custkey IS NOT NULL) AS hit
+      FROM (SELECT o_custkey FROM orders) p
+      CROSS JOIN ({build}) f
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                 WHERE c_nationkey = 0) k
+        ON p.o_custkey = k.c_custkey
+    )
+    """
+
+
+@register("bloom_prejoin_stats", _bloom_sql("duckdb"))
+def q_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter pattern: a 16-word (1008-bit, 3-hash) Bloom
+    filter built by one bit_or aggregation over the small join side,
+    broadcast (128 bytes), and tested map-side against every probe row —
+    rows failing it would never enter the join shuffle. The query reports
+    probed/candidate/true/false-positive counts; the md5-derived positions
+    make the filter bit-identical in DuckDB (operators/bloom.py)."""
+    return _sql_query(
+        spark, sf_dir, _bloom_sql("spark"), views=("customer", "orders")
+    )
