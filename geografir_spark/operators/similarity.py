@@ -486,3 +486,86 @@ def embedding_near_dup_pairs(
         return pd.DataFrame({"a_id": lo.astype("int64"), "b_id": hi.astype("int64")})
 
     return routed.groupBy("task_id").applyInPandas(refine, schema=out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    tau: float,
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical-kmeans cluster the embeddings, then prune
+    WITHIN each cluster — a document is a semantic duplicate if some other
+    document in its cluster with a LOWER id has cosine >= tau to it.
+
+    The paper orders candidates by similarity-to-centroid; we order by id
+    instead (the paper reports random order performs equivalently, §4.3) —
+    id order is reproducible across engines with no float comparisons in
+    the ordering predicate, which keeps the whole pipeline oracle-checkable
+    (queries._semantic_dedup_oracle_sql replays it in DuckDB with the
+    centroid matrix embedded as literals).
+
+    Returns one row per input doc: (id, cluster_id, kept 0/1).
+
+    Scale shape: training is a bounded hash-ordered 4,096-row sample (top-k,
+    not a sort); assignment is one Arrow-batched matmul against the
+    broadcast n_clusters×dim centroid matrix; the prune is ONE shuffle
+    (hash-partition by cluster id) + a per-cluster BLAS gram matrix.
+    Per-cluster cost is O(m²) — n_clusters must grow with the corpus so the
+    expected cluster stays bounded (the paper uses 110k clusters for LAION;
+    at 10^12 docs target m ≈ 10^4 → n_clusters ≈ 10^8 works because the
+    centroid matrix is still only n_clusters×dim×8 bytes broadcast once;
+    beyond broadcastable sizes, assignment becomes a two-level coarse→fine
+    quantizer with the same semantics). A pathological hot cluster is a
+    straggler — the mitigation (not needed on this corpus) is the same
+    angular-bound block split used by embedding_near_dup_pairs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from geografir_spark.operators.text import hash60_expr
+
+    h = hash60_expr(f"CAST({id_col} AS STRING)", "spark")
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.expr(h), F.col(id_col))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in sample[vec_col]], dtype=np.float64
+    )
+    C = train_centroids_np(X, n_clusters)
+
+    assigned = _assign_blocks(
+        df.select(id_col, vec_col), vec_col, C, blk_col="cluster_id"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("kept", T.IntegerType()),
+        ]
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
+        )
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        G = V @ V.T
+        dropped = np.tril(G >= tau, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                "cluster_id": pdf["cluster_id"].astype("int32"),
+                "kept": (~dropped).astype("int32"),
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(prune, schema=out_schema)

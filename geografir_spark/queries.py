@@ -1550,20 +1550,15 @@ _IVF_LISTS = 32
 _IVF_PROBES_N = 8
 
 
-def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """DuckDB replica of the FULL IVF-Flat pipeline (VERDICT r2 #6: the
-    centroids are deterministic, so train FIRST, embed them as literals).
+def _replayed_centroid_values(sf_dir: str, n_lists: int) -> str:
+    """Retrain the deterministic spherical-kmeans centroids OUTSIDE Spark
+    and render them as a SQL VALUES list ``(list_id, coefs DOUBLE[])``.
 
     The training sample is the 4,096 rows of ``embeddings`` in
     (hash60(vec_id), vec_id) order — hash60 is plain md5, replayed here
     with hashlib — and ``train_centroids_np`` is RNG-free, so the numpy
-    matrix trained here is bit-identical to the one the Spark query trains
-    at the same sf. The SQL then replays assignment (argmax dot, ties to
-    the lower list id — numpy argmax/stable-argsort semantics), the
-    n_probes inverted-list join, exact cosine refine, and ranking.
-    Like the LSH oracle, assignment compares dot products that numpy and
-    DuckDB may round differently in the last ulp; a flip needs two
-    centroids tied within ~1e-16 — not observed on this corpus."""
+    matrix trained here is bit-identical to the one the Spark queries train
+    at the same sf. Shared by the IVF-Flat and SemDeDup oracles."""
     import hashlib
 
     import numpy as np
@@ -1580,11 +1575,23 @@ def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     )
     order = np.lexsort((ids, h))[:4096]
     X = np.asarray([vecs[i] for i in order], dtype=np.float64)
-    C = train_centroids_np(X, _IVF_LISTS)
-    rows = ", ".join(
+    C = train_centroids_np(X, n_lists)
+    return ", ".join(
         f"({j}, CAST([" + ", ".join(repr(float(c)) for c in C[j]) + "] AS DOUBLE[]))"
         for j in range(C.shape[0])
     )
+
+
+def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of the FULL IVF-Flat pipeline (VERDICT r2 #6: the
+    centroids are deterministic, so train FIRST, embed them as literals —
+    see _replayed_centroid_values). The SQL replays assignment (argmax dot,
+    ties to the lower list id — numpy argmax/stable-argsort semantics), the
+    n_probes inverted-list join, exact cosine refine, and ranking.
+    Like the LSH oracle, assignment compares dot products that numpy and
+    DuckDB may round differently in the last ulp; a flip needs two
+    centroids tied within ~1e-16 — not observed on this corpus."""
+    rows = _replayed_centroid_values(sf_dir, _IVF_LISTS)
     return f"""
     WITH centroids(list_id, coefs) AS (VALUES {rows}),
     p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
@@ -2238,6 +2245,56 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, tau=_NEARDUP_TAU)
+
+
+_SEMDEDUP_TAU = 0.464   # sits in a >=0.005-wide gap of the SAME-CLUSTER
+                        # cosine distribution at sf0.001 (0.4573..0.4698)
+                        # and sf0.01 (0.4588..0.4720) — engine float drift
+                        # (~1e-7) cannot flip duplicate membership
+_SEMDEDUP_CLUSTERS = 16
+
+
+def _semantic_dedup_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of the full SemDeDup pipeline: identical retrained
+    centroids as literals (_replayed_centroid_values), argmax-dot cluster
+    assignment (ties → lower id, mirroring numpy argmax), then the
+    keep-lowest-id prune as a NOT EXISTS over the same-cluster self-join."""
+    rows = _replayed_centroid_values(sf_dir, _SEMDEDUP_CLUSTERS)
+    return f"""
+    WITH centroids(list_id, coefs) AS (VALUES {rows}),
+    d AS (SELECT vec_id, embedding, list_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), coefs) AS dp
+          FROM embeddings CROSS JOIN centroids),
+    a AS (SELECT vec_id, embedding, list_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dp DESC, list_id ASC) AS rn
+          FROM d),
+    asg AS (SELECT vec_id, embedding, list_id AS cluster_id FROM a WHERE rn = 1),
+    dup AS (SELECT DISTINCT x.vec_id
+            FROM asg x JOIN asg y
+              ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+            WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[]))
+                  >= {_SEMDEDUP_TAU})
+    SELECT asg.vec_id, asg.cluster_id,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle_sql)  # lazily generated
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (cluster → intra-cluster cosine
+    prune, keep-lowest-id): the embedding-space analog of MinHash near-dup
+    removal, pruning documents that are *semantically* redundant rather
+    than textually. One broadcast-matmul assignment pass + one shuffle by
+    cluster id; oracle replays the identical centroids and prune in SQL."""
+    from geografir_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, tau=_SEMDEDUP_TAU, n_clusters=_SEMDEDUP_CLUSTERS
+    )
 
 
 # ---------------------------------------------------------------------------

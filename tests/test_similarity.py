@@ -127,3 +127,41 @@ def test_near_dup_pairs_driver_bounded_and_exact(spark, monkeypatch):
     )
     assert len(exp) > 0  # the fixture actually plants pairs
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """The SemDeDup prune drops a doc iff SOME lower-id doc in its cluster
+    is cosine-close — including lower-id docs that were themselves dropped
+    (the paper's rule is EXISTS over all prior candidates, not kept ones)."""
+    from geografir_spark.operators.similarity import semantic_dedup
+
+    # 3 near-identical vectors (ids 0,1,2) + one far vector (id 3):
+    # id 0 kept, ids 1 and 2 both dropped (2 is near 1 AND near 0).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.045, 0.0, 0.0]),
+        (2, [0.999, 0.0, 0.045, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, tau=0.9, n_clusters=2).collect()
+    }
+    assert [out[i]["kept"] for i in range(4)] == [1, 0, 0, 1]
+    # the near-identical trio landed in one cluster, the far vector is
+    # kept regardless of cluster
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    """Two runs at the same sf produce identical (id, cluster, kept) rows —
+    the whole pipeline (sample, k-means, assignment, prune) is RNG-free."""
+    from geografir_spark.operators.similarity import semantic_dedup
+    from geografir_spark.sources.pages import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sorted(map(tuple, semantic_dedup(emb, tau=0.464, n_clusters=16).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, tau=0.464, n_clusters=16).collect()))
+    assert a == b
+    assert len(a) == emb.count()
