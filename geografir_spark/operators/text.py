@@ -163,3 +163,45 @@ def winnow_exprs(
             f" ELSE CAST([] AS BIGINT[]) END"
         )
     return [{"__hs": hs}, {"__fps": fps}]
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Conservative, deterministic redaction patterns. Kept to regex features with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
+# bounded/unbounded greedy repetition, \b word boundaries — no backreferences
+# or lookaround (RE2 has neither). Order matters: emails first (their local
+# parts contain dots and digits), then dotted IPv4 runs, then +phone runs.
+PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9-]{7,14}[0-9]", "<PHONE>"),
+)
+
+
+def regexp_sub_expr(text: str, pattern: str, repl: str, dialect: str) -> str:
+    """Replace ALL matches of pattern with repl (global) — Spark's
+    regexp_replace is global by default; DuckDB needs the 'g' flag. Spark
+    SQL string literals eat one backslash level, so the pattern is
+    re-escaped there (same convention as geo.geocode._pattern_literal)."""
+    if dialect == "spark":
+        pat = pattern.replace("\\", "\\\\")
+        return f"regexp_replace({text}, '{pat}', '{repl}')"
+    return f"regexp_replace({text}, '{pattern}', '{repl}', 'g')"
+
+
+def pii_scrub_expr(text: str, dialect: str) -> str:
+    """text with every PII_PATTERNS category replaced by its tag, applied
+    in declaration order. Map-only: one codegen'd projection, no shuffle."""
+    out = text
+    for _, pattern, repl in PII_PATTERNS:
+        out = regexp_sub_expr(out, pattern, repl, dialect)
+    return out
+
+
+def pii_count_expr(scrubbed: str, tag: str, dialect: str) -> str:
+    """Occurrences of a redaction tag in already-scrubbed text (tags contain
+    no regex metacharacters, so Spark's regex split == DuckDB's literal
+    split)."""
+    if dialect == "spark":
+        return f"size(split({scrubbed}, '{tag}')) - 1"
+    return f"len(string_split({scrubbed}, '{tag}')) - 1"

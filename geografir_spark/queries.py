@@ -928,6 +928,33 @@ def _sql_query(
     return spark.sql(spark_sql)
 
 
+def _radius_oracle_sql() -> str:
+    from geografir_spark.operators.radius_join import hav_sql, hav_tau
+
+    return f"""
+    WITH p AS ({_POINTS_SQL}),
+    pairs AS (SELECT a.point_id AS a_id, b.point_id AS b_id,
+                     {hav_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} AS hav
+              FROM p a JOIN p b ON a.point_id < b.point_id)
+    SELECT a_id, b_id, hav FROM pairs WHERE hav <= {hav_tau(500000.0)!r}
+    """
+
+
+@register("radius_pairs", _radius_oracle_sql())
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band self-join: customer point pairs within 500 km
+    great-circle distance (lat-band equi-join + conservative lon prune +
+    exact half-chord refine — operators/radius_join.py). The oracle is the
+    O(n²) brute force; the engine's banded plan must reproduce it exactly,
+    which also proves the prefilter loses no true pair on this corpus."""
+    from geografir_spark.operators.radius_join import radius_join
+
+    pts = _points_df(spark, sf_dir)
+    a = pts.selectExpr("point_id AS a_id", "lon AS a_lon", "lat AS a_lat")
+    b = pts.selectExpr("point_id AS b_id", "lon AS b_lon", "lat AS b_lat")
+    return radius_join(a, b, 500000.0).filter("a_id < b_id")
+
+
 def _dedup_mod():
     from geografir_spark.operators import dedup
 
@@ -1401,6 +1428,98 @@ def q_rare_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source rare-bigram quality stats; docs with >= 5% corpus-rare
     bigrams are flagged."""
     return _sql_query(spark, sf_dir, _rare_ngram_sql("spark"), repartition=True)
+
+
+def _repetition_sql(dialect: str, *, flag_pct: int = 20) -> str:
+    """Per-document duplicate-n-gram fractions (Gopher/MassiveText-style
+    repetition filters, Rae et al. 2021 §A1.1): a document whose word
+    2-/3-grams repeat heavily is boilerplate or spam. Map-only — the
+    shingle lists, distinct counts, and the flag are computed per row with
+    no shuffle (the one GROUP BY is the final per-source rollup), so the
+    filter costs one scan at any corpus size. Fractions are
+    integer-over-integer divisions of the same literals on both engines."""
+    from geografir_spark.operators.dedup import _shingles_expr
+
+    sh2 = _shingles_expr("text", 2, dialect)
+    sh3 = _shingles_expr("text", 3, dialect)
+    if dialect == "spark":
+        n2, d2 = f"size({sh2})", f"size(array_distinct({sh2}))"
+        n3, d3 = f"size({sh3})", f"size(array_distinct({sh3}))"
+    else:
+        n2, d2 = f"len({sh2})", f"len(list_distinct({sh2}))"
+        n3, d3 = f"len({sh3})", f"len(list_distinct({sh3}))"
+    return f"""
+    WITH g AS (SELECT doc_id, source,
+                      CAST({n2} AS BIGINT) AS n_2g,
+                      CAST({d2} AS BIGINT) AS u_2g,
+                      CAST({n3} AS BIGINT) AS n_3g,
+                      CAST({d3} AS BIGINT) AS u_3g
+               FROM documents),
+    f AS (SELECT *,
+                 CAST(n_2g - u_2g AS DOUBLE) / CAST(greatest(n_2g, 1) AS DOUBLE)
+                   AS dup_2g_frac,
+                 CAST(n_3g - u_3g AS DOUBLE) / CAST(greatest(n_3g, 1) AS DOUBLE)
+                   AS dup_3g_frac,
+                 CASE WHEN (n_2g - u_2g) * 100 >= n_2g * {flag_pct}
+                      THEN 1 ELSE 0 END AS flagged
+          FROM g)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           max(dup_2g_frac) AS max_dup_2g_frac,
+           max(dup_3g_frac) AS max_dup_3g_frac,
+           CAST(sum(n_2g - u_2g) AS BIGINT) AS total_dup_2g
+    FROM f GROUP BY source
+    """
+
+
+def _pii_scrub_sql(dialect: str) -> str:
+    """PII redaction (email / IPv4 / +phone → typed tags) with per-row
+    redaction counts. The corpus itself carries no PII (synthetic word-soup
+    text), so the query materializes deterministic contact strings from
+    customer keys FIRST — built from the same integer expressions on both
+    engines — then runs the scrubber on them; the oracle compares the
+    scrubbed strings byte-for-byte. The scrubber itself
+    (operators/text.py:pii_scrub_expr) is one codegen'd regexp projection:
+    map-only, no shuffle, no Python — the shape a 100 TB scrub pass needs."""
+    from geografir_spark.operators.text import pii_count_expr, pii_scrub_expr
+
+    contact = (
+        "'Contact c' || CAST(c_custkey AS STRING)"
+        " || ' at user' || CAST(c_custkey AS STRING) || '.'"
+        " || lower(c_mktsegment) || '@mail.example.com or +1-202-555-'"
+        " || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')"
+        " || ' from 10.' || CAST(c_custkey % 256 AS STRING)"
+        " || '.0.' || CAST((c_custkey * 7) % 256 AS STRING) || ' ok'"
+    )
+    scrub = pii_scrub_expr("text", dialect)
+    return f"""
+    WITH raw AS (SELECT c_custkey, {contact} AS text FROM customer),
+    s AS (SELECT c_custkey, {scrub} AS scrubbed FROM raw)
+    SELECT c_custkey, scrubbed,
+           CAST({pii_count_expr('scrubbed', '<EMAIL>', dialect)} AS INTEGER)
+             AS n_emails,
+           CAST({pii_count_expr('scrubbed', '<IP>', dialect)} AS INTEGER)
+             AS n_ips,
+           CAST({pii_count_expr('scrubbed', '<PHONE>', dialect)} AS INTEGER)
+             AS n_phones
+    FROM s
+    """
+
+
+@register("pii_scrub", _pii_scrub_sql("duckdb"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IP/phone redaction over synthesized contact strings — byte-exact
+    scrubbed output plus per-category redaction counts."""
+    return _sql_query(spark, sf_dir, _pii_scrub_sql("spark"), views=("customer",))
+
+
+@register("repetition_quality", _repetition_sql("duckdb"))
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-n-gram repetition stats; docs whose 2-grams are
+    >= 20% repeats are flagged (the integer-exact flag avoids comparing a
+    float fraction to a threshold across engines)."""
+    return _sql_query(spark, sf_dir, _repetition_sql("spark"), repartition=True)
 
 
 def _rare_terms_sql(dialect: str, *, k: int = 3) -> str:
