@@ -106,6 +106,36 @@ def band_sig_exprs(n_hashes: int = 16, bands: int = 4) -> dict[str, str]:
     return out
 
 
+def _bandrows_cte_sql(
+    rel: str, id_col: str, text_col: str, dialect: str,
+    n_hashes: int, bands: int, shingle_k: int,
+) -> str:
+    """``WITH sigs AS (...), bandrows AS (...)`` prefix shared by the pair
+    generators. The Spark dialect emits band rows with ONE ``inline``
+    generator so the signature pipeline is computed exactly once per doc
+    (a ``UNION ALL`` of per-band selects re-inlines the CTE — Spark does
+    not materialize CTEs — multiplying the shingle+md5 work by ``bands``);
+    DuckDB materializes CTEs, so the flat UNION ALL form stays."""
+    from geografir_spark.geo.cells import nested_sql
+
+    sig_steps = minhash_signature_exprs(text_col, dialect, n_hashes, shingle_k)
+    sig_steps.append(band_sig_exprs(n_hashes, bands))
+    base = nested_sql(f"SELECT {id_col}, {text_col} FROM {rel}", sig_steps)
+    if dialect == "spark":
+        structs = ", ".join(
+            f"named_struct('band_idx', {b}, 'sig', __band{b})" for b in range(bands)
+        )
+        band_rows = (
+            f"SELECT {id_col} AS doc, inline(array({structs})) FROM sigs"
+        )
+    else:
+        band_rows = " UNION ALL ".join(
+            f"SELECT {id_col} AS doc, {b} AS band_idx, __band{b} AS sig FROM sigs"
+            for b in range(bands)
+        )
+    return f"WITH sigs AS ({base}),\n         bandrows AS ({band_rows})"
+
+
 def minhash_pairs_sql(
     rel: str,
     id_col: str,
@@ -115,19 +145,31 @@ def minhash_pairs_sql(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> str:
-    """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
-    from geografir_spark.geo.cells import nested_sql
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
-    sig_steps = minhash_signature_exprs(text_col, dialect, n_hashes, shingle_k)
-    sig_steps.append(band_sig_exprs(n_hashes, bands))
-    base = nested_sql(f"SELECT {id_col}, {text_col} FROM {rel}", sig_steps)
-    band_rows = " UNION ALL ".join(
-        f"SELECT {id_col} AS doc, {b} AS band_idx, __band{b} AS sig FROM sigs"
-        for b in range(bands)
+    Spark dialect: bucket-grouped pair expansion — group band rows by
+    (band_idx, sig), collect the sorted doc list per bucket, and generate
+    in-bucket pairs with array lambdas. One signature pass + ONE shuffle
+    on the bucket key; a band-bucket self-join would compute signatures on
+    both sides (Spark inlines CTEs) and shuffle both. Emitted pair count
+    is identical (Σ |bucket|²/2 either way). DuckDB keeps the self-join
+    form (it materializes CTEs; the oracle optimizes for clarity)."""
+    prefix = _bandrows_cte_sql(
+        rel, id_col, text_col, dialect, n_hashes, bands, shingle_k
     )
+    if dialect == "spark":
+        return f"""
+    {prefix},
+         buckets AS (SELECT sort_array(collect_list(doc)) AS docs
+                     FROM bandrows GROUP BY band_idx, sig HAVING count(*) > 1)
+    SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT inline(flatten(transform(sequence(0, size(docs) - 2),
+               i -> transform(slice(docs, i + 2, size(docs) - i - 1),
+                              d -> named_struct('doc_a', docs[i], 'doc_b', d)))))
+      FROM buckets)
+    """
     return f"""
-    WITH sigs AS ({base}),
-         bandrows AS ({band_rows})
+    {prefix}
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM bandrows a JOIN bandrows b
       ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc < b.doc
@@ -153,19 +195,31 @@ def incremental_minhash_sql(
     a stored (band_idx, sig, doc) bucket table maintained incrementally;
     the join shuffles O(|new| × bands) rows plus the matched buckets only.
     Returns one row per flagged new doc with its match count and the
-    earliest seen match."""
-    from geografir_spark.geo.cells import nested_sql
+    earliest seen match.
 
-    sig_steps = minhash_signature_exprs(text_col, dialect, n_hashes, shingle_k)
-    sig_steps.append(band_sig_exprs(n_hashes, bands))
-    base = nested_sql(f"SELECT {id_col}, {text_col} FROM {rel}", sig_steps)
-    band_rows = " UNION ALL ".join(
-        f"SELECT {id_col} AS doc, {b} AS band_idx, __band{b} AS sig FROM sigs"
-        for b in range(bands)
+    Spark dialect: same bucket-grouped shape as ``minhash_pairs_sql`` —
+    one signature pass, one shuffle; within each bucket the new×seen cross
+    product comes from nested array lambdas over the predicate-filtered
+    doc lists (both lists are tiny: a bucket is one LSH collision set)."""
+    prefix = _bandrows_cte_sql(
+        rel, id_col, text_col, dialect, n_hashes, bands, shingle_k
     )
+    if dialect == "spark":
+        np_, sp_ = new_pred.replace("__doc", "d"), seen_pred.replace("__doc", "d")
+        return f"""
+    {prefix},
+         buckets AS (SELECT collect_list(doc) AS docs
+                     FROM bandrows GROUP BY band_idx, sig HAVING count(*) > 1),
+         cand AS (SELECT DISTINCT new_doc, seen_doc FROM (
+           SELECT inline(flatten(transform(filter(docs, d -> ({np_})),
+                    nd -> transform(filter(docs, d -> ({sp_})),
+                          sd -> named_struct('new_doc', nd, 'seen_doc', sd)))))
+           FROM buckets))
+    SELECT new_doc, count(*) AS n_seen_matches, min(seen_doc) AS first_seen
+    FROM cand GROUP BY new_doc
+    """
     return f"""
-    WITH sigs AS ({base}),
-         bandrows AS ({band_rows}),
+    {prefix},
          cand AS (SELECT DISTINCT a.doc AS new_doc, b.doc AS seen_doc
                   FROM bandrows a JOIN bandrows b
                     ON a.band_idx = b.band_idx AND a.sig = b.sig

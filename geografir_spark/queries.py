@@ -2017,20 +2017,28 @@ def _lsh_jaccard_refine_sql(dialect: str) -> str:
 
     cand = dedup.minhash_pairs_sql("documents", "doc_id", "text", dialect)
     if dialect == "spark":
-        ta, tb = "array_distinct(split(a.text, ' '))", "array_distinct(split(b.text, ' '))"
-        inter = f"size(array_intersect({ta}, {tb}))"
-        uni = f"size(array_union({ta}, {tb}))"
+        toks = "SELECT doc_id, array_distinct(split(text, ' ')) AS tk FROM documents"
+        inter = "size(array_intersect(a.tk, b.tk))"
+        uni = "size(array_union(a.tk, b.tk))"
     else:
-        ta, tb = "list_distinct(string_split(a.text, ' '))", "list_distinct(string_split(b.text, ' '))"
-        inter = f"len(list_intersect({ta}, {tb}))"
-        uni = f"len(list_distinct(list_concat({ta}, {tb})))"
+        toks = (
+            "SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk"
+            " FROM documents"
+        )
+        inter = "len(list_intersect(a.tk, b.tk))"
+        uni = "len(list_distinct(list_concat(a.tk, b.tk)))"
+    # tokenize each doc ONCE in a `toks` relation, compute the intersect /
+    # union sizes ONCE in an inner select, filter on the aliases — the
+    # inlined-expression form re-split both texts 6× per candidate row
     return f"""
-    WITH cand AS ({cand})
-    SELECT c.doc_a, c.doc_b, {inter} AS n_common, {uni} AS n_union
-    FROM cand c
-      JOIN documents a ON a.doc_id = c.doc_a
-      JOIN documents b ON b.doc_id = c.doc_b
-    WHERE {inter} * 10 >= {uni} * 3
+    WITH cand AS ({cand}),
+         toks AS ({toks})
+    SELECT doc_a, doc_b, n_common, n_union FROM (
+      SELECT c.doc_a, c.doc_b, {inter} AS n_common, {uni} AS n_union
+      FROM cand c
+        JOIN toks a ON a.doc_id = c.doc_a
+        JOIN toks b ON b.doc_id = c.doc_b)
+    WHERE n_common * 10 >= n_union * 3
     """
 
 
@@ -2040,8 +2048,11 @@ def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs × bands)) → exact token-set jaccard ≥ 0.3 on candidates only —
     never all blocked pairs. Integer threshold keeps the predicate
     float-free; the DuckDB oracle replays signatures → buckets →
-    candidates → refine identically."""
-    return _sql_query(spark, sf_dir, _lsh_jaccard_refine_sql("spark"))
+    candidates → refine identically. ``repartition=True`` matters here:
+    the signature pass now runs exactly once (bucket-grouped candidates),
+    so its parallelism is the scan's — and the test parquet is a single
+    row group."""
+    return _sql_query(spark, sf_dir, _lsh_jaccard_refine_sql("spark"), repartition=True)
 
 
 # ---------------------------------------------------------------------------
