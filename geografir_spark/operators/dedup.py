@@ -230,6 +230,53 @@ def incremental_minhash_sql(
     """
 
 
+def segment_dedup_sql(
+    rel: str, id_col: str, text_col: str, dialect: str, seg_tokens: int = 20
+) -> str:
+    """Segment-level (line-level) dedup map — the RefinedWeb/CCNet shape:
+    split each doc into fixed ``seg_tokens``-token segments, hash-dedup
+    segments across the WHOLE corpus (keeper = lowest doc id), and report
+    per-doc retained/dropped segment counts. Production pipelines run this
+    between exact and near dedup: boilerplate (headers, nav bars, license
+    blocks) repeats across docs whose full texts are unique.
+
+    Scale shape: one scan, segments exploded (fan-out ≈ tokens/20 rows per
+    doc), keeper via a min window keyed on the segment hash (ONE shuffle —
+    a groupBy+self-join would rescan the corpus: Spark inlines CTEs), then
+    one per-doc agg. All md5/integer ops; no corrections, no floats."""
+    toks = tokens_expr(text_col, dialect)
+    if dialect == "spark":
+        nseg = f"CAST(ceil(size(t) / {seg_tokens}.0) AS INT)"
+        seglist = (
+            f"CASE WHEN size(t) >= 1 THEN transform(sequence(0, {nseg} - 1),"
+            f" i -> md5(array_join(slice(t, i * {seg_tokens} + 1, {seg_tokens}), ' ')))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        seg_rows = "SELECT doc_id, explode(segs) AS seg_hash FROM lists"
+    else:
+        nseg = f"CAST(ceil(len(t) / {seg_tokens}.0) AS INT)"
+        seglist = (
+            f"CASE WHEN len(t) >= 1 THEN list_transform(range(0, {nseg}),"
+            f" i -> md5(array_to_string("
+            f"list_slice(t, i * {seg_tokens} + 1, i * {seg_tokens} + {seg_tokens}), ' ')))"
+            f" ELSE [] END"
+        )
+        seg_rows = "SELECT doc_id, unnest(segs) AS seg_hash FROM lists"
+    return f"""
+    WITH toks AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {rel}),
+         lists AS (SELECT doc_id, {seglist} AS segs FROM toks),
+         segrows AS ({seg_rows}),
+         k AS (SELECT doc_id,
+                      min(doc_id) OVER (PARTITION BY seg_hash) AS keeper_doc
+               FROM segrows)
+    SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN keeper_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segs,
+           min(keeper_doc) AS earliest_keeper
+    FROM k GROUP BY doc_id
+    """
+
+
 def simhash_sql(rel: str, id_col: str, text_col: str, dialect: str) -> str:
     """64-bit SimHash per document: bit b set iff the majority of token
     hashes have bit b set. Token hash = shared md5-60-bit primitive; we use

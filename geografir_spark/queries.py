@@ -70,11 +70,18 @@ def _geocoded_pages(spark: SparkSession, sf_dir: str, res: int = RES) -> DataFra
     return cells.with_cell(p, "lon", "lat", res)
 
 
+def _geocoded_base_sql(dialect: str, res: int = RES) -> str:
+    """Dialect-parameterized SQL producing the geocoded+celled pages
+    relation (geocode_steps carries the dialect split; encode_steps is
+    pure shared bit math)."""
+    base = pages_select_sql("documents")
+    q = cells.nested_sql(base, geocode.geocode_steps("text", "page_id", dialect))
+    return cells.nested_sql(q, cells.encode_steps("lon", "lat", res))
+
+
 def _geocoded_pages_oracle_base(res: int = RES) -> str:
     """DuckDB SQL producing the identical geocoded+celled pages relation."""
-    base = pages_select_sql("documents")
-    q = cells.nested_sql(base, geocode.geocode_steps("text", "page_id", "duckdb"))
-    return cells.nested_sql(q, cells.encode_steps("lon", "lat", res))
+    return _geocoded_base_sql("duckdb", res)
 
 
 # ---------------------------------------------------------------------------
@@ -2929,3 +2936,80 @@ def q_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(
         spark, sf_dir, _bloom_sql("spark"), views=("customer", "orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup / OD cell flows / HLL distinct sketch (round 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "segment_dedup",
+    _dedup_mod().segment_dedup_sql("documents", "doc_id", "text", "duckdb"),
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style segment (line-level) dedup: fixed 20-token
+    segments hashed and deduped across the whole corpus, keeper = lowest
+    doc id; per-doc retained/dropped counts. One explode + one window
+    shuffle + one agg (operators/dedup.py:segment_dedup_sql)."""
+    from geografir_spark.operators import dedup
+
+    return _sql_query(
+        spark,
+        sf_dir,
+        dedup.segment_dedup_sql("documents", "doc_id", "text", "spark"),
+        repartition=True,
+    )
+
+
+def _od_flows_sql(dialect: str) -> str:
+    """Origin→destination cell transition matrix from per-host page
+    sequences: geocode pages, order each url host's pages by page_id
+    (crawl order), emit (prev cell → cell) moves, count flows. The
+    trajectory-flow aggregation of a movement-analytics pipeline, over the
+    same tiling the flagship uses. Window per host parallelizes across
+    hosts; a mega-host is one partition's sort (same caveat + remedy as
+    host_quota_sample: two-phase by (host, epoch) if hosts are Zipfian)."""
+    base = _geocoded_base_sql(dialect)
+    host = (
+        "string_split(url, '/')[3]" if dialect == "duckdb" else "split(url, '/')[2]"
+    )
+    return f"""
+    WITH g AS ({base}),
+         l AS (SELECT host, cell,
+                      lag(cell) OVER (PARTITION BY host ORDER BY page_id)
+                        AS prev_cell
+               FROM (SELECT {host} AS host, cell, page_id FROM g))
+    SELECT prev_cell AS cell_from, cell AS cell_to,
+           count(*) AS n_moves, count(DISTINCT host) AS n_hosts
+    FROM l
+    WHERE prev_cell IS NOT NULL AND prev_cell <> cell
+    GROUP BY cell_from, cell_to
+    """
+
+
+@register("od_cell_flows", _od_flows_sql("duckdb"))
+def q_od_cell_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix between tiles (see _od_flows_sql)."""
+    return _sql_query(spark, sf_dir, _od_flows_sql("spark"))
+
+
+def _hll_distinct_sql(dialect: str) -> str:
+    from geografir_spark.operators import sketch
+
+    return sketch.hll_distinct_sql(
+        _geocoded_base_sql(dialect),
+        cells.parent_sql("cell", ROLLUP_RES),
+        "url",
+        dialect,
+        group_name="parent_cell",
+    )
+
+
+@register("hll_distinct_urls", _hll_distinct_sql("duckdb"))
+def q_hll_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coarse-cell distinct-url HyperLogLog sketch, bit-identical in
+    both engines (operators/sketch.py): mergeable integer registers from
+    the shared md5 hash, exact distinct riding the same single pass, one
+    final IEEE division for the estimate. The oracle verifies the sketch's
+    full register state, not just row counts."""
+    return _sql_query(spark, sf_dir, _hll_distinct_sql("spark"), repartition=True)
