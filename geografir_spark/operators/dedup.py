@@ -389,3 +389,47 @@ def connected_components(
             " rounds (component diameter exceeds the bound); raise max_iter"
         )
     return labels
+
+
+def decontaminate_sql(
+    train_rel: str,
+    bench_rel: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    n: int = 8,
+) -> str:
+    """Benchmark decontamination (the GPT-3/Llama pre-training hygiene
+    step): flag training documents that share any ``n``-token n-gram with
+    a held-out benchmark/eval set, reporting per-doc overlap counts so a
+    pipeline can drop or audit them before training.
+
+    Scale shape: both sides tokenize and build n-grams map-side; per-doc
+    gram dedup uses array_distinct INSIDE the gram array (no shuffle — the
+    per-doc distinct count rides along as ``size()``), so each side is one
+    scan + one explode. The benchmark gram set is tiny relative to a
+    100 TB corpus (a few eval suites ≈ millions of grams), so Spark
+    broadcasts it and the probe join never shuffles the training grams;
+    were it ever large, the equi-join on the fixed-width md5 key still
+    partitions evenly. Output only contaminated docs (sparse).
+    """
+    grams = _shingles_expr(text_col, n, dialect)
+    if dialect == "spark":
+        dg = f"transform(array_distinct({grams}), g -> md5(g))"
+        erows = "SELECT doc_id, size(dg) AS n_grams, explode(dg) AS gh FROM __side"
+    else:
+        dg = f"list_transform(list_distinct({grams}), g -> md5(g))"
+        erows = "SELECT doc_id, len(dg) AS n_grams, unnest(dg) AS gh FROM __side"
+    return f"""
+    WITH bdocs AS (SELECT {id_col} AS doc_id, {dg} AS dg FROM {bench_rel}),
+         bgrams AS (SELECT DISTINCT gh
+                    FROM ({erows.replace('__side', 'bdocs')})),
+         tdocs AS (SELECT {id_col} AS doc_id, {dg} AS dg FROM {train_rel}),
+         tgrams AS ({erows.replace('__side', 'tdocs')})
+    SELECT t.doc_id,
+           min(t.n_grams) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_contam_grams,
+           min(t.gh) AS sample_gram
+    FROM tgrams t JOIN bgrams b ON t.gh = b.gh
+    GROUP BY t.doc_id
+    """

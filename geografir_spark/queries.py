@@ -3013,3 +3013,28 @@ def q_hll_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     final IEEE division for the estimate. The oracle verifies the sketch's
     full register state, not just row counts."""
     return _sql_query(spark, sf_dir, _hll_distinct_sql("spark"), repartition=True)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 3)
+# ---------------------------------------------------------------------------
+
+_BENCH_SPLIT = "doc_id % 5 = 0"  # deterministic stand-in benchmark set
+
+
+def _decontaminate_sql(dialect: str) -> str:
+    train = f"(SELECT * FROM documents WHERE NOT ({_BENCH_SPLIT}))"
+    bench = f"(SELECT * FROM documents WHERE {_BENCH_SPLIT})"
+    return _dedup_mod().decontaminate_sql(
+        train, bench, "doc_id", "text", dialect, n=8
+    )
+
+
+@register("decontaminate_overlap", _decontaminate_sql("duckdb"))
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 8-token n-gram
+    with the (deterministic doc_id%5) benchmark split, with per-doc overlap
+    counts (operators/dedup.py:decontaminate_sql). The benchmark gram set
+    broadcasts; the training side is one scan + explode — no train-side
+    shuffle before the final sparse per-doc agg."""
+    return _sql_query(spark, sf_dir, _decontaminate_sql("spark"), repartition=True)

@@ -146,3 +146,84 @@ def test_od_flows_tiny_fixture(spark):
     )
     got = {(r["cell_from"], r["cell_to"]): (r["n_moves"], r["n_hosts"]) for r in out}
     assert got == {(101, 102): (2, 2), (102, 101): (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+W = " ".join(f"w{i}" for i in range(10))  # 10 tokens -> 3 distinct 8-grams
+
+
+def _decon_rows(spark, docs, bench_pred="doc_id >= 100"):
+    from geografir_spark.operators.dedup import decontaminate_sql
+
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "ddocs"
+    )
+    sql = decontaminate_sql(
+        f"(SELECT * FROM ddocs WHERE NOT ({bench_pred}))",
+        f"(SELECT * FROM ddocs WHERE {bench_pred})",
+        "doc_id",
+        "text",
+        "spark",
+    )
+    return {r["doc_id"]: r.asDict() for r in spark.sql(sql).collect()}
+
+
+def test_decontaminate_exact_copy_and_partial_overlap(spark):
+    # doc 1 = exact copy of benchmark doc 100 (all 3 grams contaminated);
+    # doc 2 shares only the first 8 tokens (1 gram); doc 3 is clean;
+    # doc 4 is shorter than 8 tokens (no grams, never flagged)
+    docs = [
+        (1, W),
+        (2, " ".join(f"w{i}" for i in range(8)) + " x y z"),
+        (3, "entirely different text with eight plus tokens here now"),
+        (4, "too short"),
+        (100, W),
+    ]
+    out = _decon_rows(spark, docs)
+    assert out[1]["n_grams"] == 3 and out[1]["n_contam_grams"] == 3
+    assert out[2]["n_contam_grams"] == 1
+    assert 3 not in out and 4 not in out  # only contaminated docs emitted
+
+
+def test_decontaminate_within_doc_repeat_counts_once(spark):
+    # the shared gram appears twice in the training doc: array_distinct
+    # collapses it, so n_contam_grams counts DISTINCT shared grams
+    eight = " ".join(f"w{i}" for i in range(8))
+    out = _decon_rows(spark, [(1, f"{eight} {eight}"), (100, eight)])
+    assert out[1]["n_contam_grams"] == 1
+
+
+def test_decontaminate_dialects_agree(spark):
+    from geografir_spark.operators.dedup import decontaminate_sql
+
+    docs = [
+        (1, W),
+        (2, " ".join(f"w{i}" for i in range(8)) + " x y z"),
+        (3, "entirely different text with eight plus tokens here now"),
+        (100, W),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "ddocs"
+    )
+    args = ("doc_id", "text")
+    train = "(SELECT * FROM ddocs WHERE NOT (doc_id >= 100))"
+    bench = "(SELECT * FROM ddocs WHERE doc_id >= 100)"
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            decontaminate_sql(train, bench, *args, "spark")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ddocs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO ddocs VALUES (?, ?)", docs)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            decontaminate_sql(train, bench, *args, "duckdb")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2
