@@ -83,3 +83,58 @@ def hll_distinct_sql(
            count(*) AS hll_regs_used
     FROM regs GROUP BY {group_name}
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 3
+CM_WIDTH = 64
+
+
+def countmin_sql(
+    base_sql: str,
+    item_expr: str,
+    dialect: str,
+    top_k: int = 20,
+) -> str:
+    """Count-Min heavy hitters: estimate per-item frequencies from a fixed
+    d×w integer register table and report, for the top-``top_k`` items by
+    exact count, the exact count, the CMS estimate (min over the item's d
+    registers), and the collision overestimate (always ≥ 0 — CMS never
+    underestimates).
+
+    Determinism discipline (same as the HLL above): register position =
+    shared md5-derived 60-bit hash of ``'cm<r>:' || item`` mod w; registers
+    are BIGINT sums, so partial aggregation combines them map-side and
+    summation order can't change them; the estimate is an integer min —
+    zero float ops anywhere, Spark and DuckDB agree bit-for-bit.
+
+    Plan shape at 100 TB: ONE scan of the base → groupBy(item) (the only
+    data-sized shuffle; CMS registers are additive, so they are built from
+    the compact per-item counts instead of re-scanning raw rows), then a
+    d×w≤768-row register table that broadcasts back onto the item counts
+    for the min-estimate, and a distributed TakeOrdered for the total-order
+    top-k (exact count desc, item asc — deterministic under ties).
+    """
+    seeds = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(CM_DEPTH))
+    h = hash60_expr("concat('cm', CAST(r AS STRING), ':', item)", dialect)
+    return f"""
+    WITH b AS (SELECT CAST({item_expr} AS STRING) AS item FROM ({base_sql})),
+         items AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+                   FROM b GROUP BY item),
+         pos AS (SELECT item, n, r, {h} % {CM_WIDTH} AS p
+                 FROM items CROSS JOIN ({seeds}) seeds),
+         regs AS (SELECT r, p, CAST(sum(n) AS BIGINT) AS reg
+                  FROM pos GROUP BY r, p),
+         est AS (SELECT pos.item, pos.n, min(regs.reg) AS cms
+                 FROM pos JOIN regs ON pos.r = regs.r AND pos.p = regs.p
+                 GROUP BY pos.item, pos.n)
+    SELECT item, n AS n_exact,
+           CAST(cms AS BIGINT) AS cms_estimate,
+           CAST(cms - n AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY n_exact DESC, item ASC
+    LIMIT {top_k}
+    """

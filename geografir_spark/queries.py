@@ -3038,3 +3038,20 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the training side is one scan + explode — no train-side
     shuffle before the final sparse per-doc agg."""
     return _sql_query(spark, sf_dir, _decontaminate_sql("spark"), repartition=True)
+
+
+def _countmin_sql(dialect: str) -> str:
+    from geografir_spark.operators import sketch
+
+    return sketch.countmin_sql(
+        "SELECT user_id FROM events", "user_id", dialect
+    )
+
+
+@register("countmin_heavy_hitters", _countmin_sql("duckdb"))
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over event users: exact top-20 counts beside
+    the 3×64 integer-register CMS estimates and their collision
+    overestimates (operators/sketch.py:countmin_sql — bit-identical
+    registers in both engines, zero float ops)."""
+    return _sql_query(spark, sf_dir, _countmin_sql("spark"), views=("events",))

@@ -227,3 +227,63 @@ def test_decontaminate_dialects_agree(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_countmin_never_underestimates_and_exact_when_alone(spark):
+    from geografir_spark.operators.sketch import countmin_sql
+
+    docs = [(i % 10,) for i in range(200)] + [(99,)]
+    spark.createDataFrame(docs, "k long").createOrReplaceTempView("cmitems")
+    sql = countmin_sql("SELECT k FROM cmitems", "k", "spark", top_k=11)
+    out = {r["item"]: r.asDict() for r in spark.sql(sql).collect()}
+    assert len(out) == 11
+    for row in out.values():
+        assert row["overestimate"] >= 0
+        assert row["cms_estimate"] >= row["n_exact"]
+    assert out["99"]["n_exact"] == 1
+
+
+def test_countmin_registers_are_additive(spark):
+    # CMS(a ∪ b) estimate == estimate from summed registers: feed the union
+    # and each half; for every item, est(union) <= est(a) + est(b) would be
+    # wrong in general, but exact-count additivity must hold and the union
+    # estimate must dominate each item's union exact count
+    from geografir_spark.operators.sketch import countmin_sql
+
+    rows = [(f"x{i % 7}",) for i in range(50)]
+    spark.createDataFrame(rows, "k string").createOrReplaceTempView("cmu")
+    spark.createDataFrame(rows * 2, "k string").createOrReplaceTempView("cmu2")
+    one = {r["item"]: r for r in spark.sql(
+        countmin_sql("SELECT k FROM cmu", "k", "spark", top_k=7)).collect()}
+    two = {r["item"]: r for r in spark.sql(
+        countmin_sql("SELECT k FROM cmu2", "k", "spark", top_k=7)).collect()}
+    for k in one:
+        assert two[k]["n_exact"] == 2 * one[k]["n_exact"]
+        # doubling every count doubles every register, hence the estimate
+        assert two[k]["cms_estimate"] == 2 * one[k]["cms_estimate"]
+
+
+def test_countmin_dialects_agree(spark):
+    from geografir_spark.operators.sketch import countmin_sql
+
+    docs = [(i % 97,) for i in range(300)]
+    spark.createDataFrame(docs, "k long").createOrReplaceTempView("cmd")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            countmin_sql("SELECT k FROM cmd", "k", "spark", top_k=97)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cmd AS SELECT (i % 97) AS k FROM range(300) t(i)")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            countmin_sql("SELECT k FROM cmd", "k", "duckdb", top_k=97)
+        ).fetchall()
+    )
+    assert got == want
