@@ -3055,3 +3055,26 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overestimates (operators/sketch.py:countmin_sql — bit-identical
     registers in both engines, zero float ops)."""
     return _sql_query(spark, sf_dir, _countmin_sql("spark"), views=("events",))
+
+
+def _pagerank_sql(dialect: str) -> str:
+    from geografir_spark.operators import graph
+
+    edges = (
+        f"SELECT cell_from, cell_to, n_moves FROM ({_od_flows_sql(dialect)})"
+    )
+    return graph.pagerank_sql(
+        edges, "cell_from", "cell_to", "n_moves", dialect, iters=5
+    )
+
+
+@register("pagerank_cells", _pagerank_sql("duckdb"))
+def q_pagerank_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the origin→destination cell-flow graph — 5 rounds of
+    integer fixed-point rank propagation (scale 10^12), bit-identical in
+    both engines because every term is a BIGINT floor-division and integer
+    sums are order-insensitive (operators/graph.py). The unrolled-SQL form
+    re-derives the cheap page-graph base per round; the production
+    ``graph.pagerank`` DataFrame path localCheckpoints edges once (tested
+    equal)."""
+    return _sql_query(spark, sf_dir, _pagerank_sql("spark"))

@@ -1,0 +1,72 @@
+"""PageRank operator semantics: hand-checked fixed-point arithmetic, the
+DataFrame production path vs the unrolled SQL, and dialect agreement."""
+
+from __future__ import annotations
+
+import duckdb
+
+from geografir_spark.operators.graph import (
+    SCALE,
+    TELEPORT,
+    pagerank,
+    pagerank_sql,
+)
+
+EDGES = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1), ("d", "a", 5)]
+
+
+def _spark_sql_ranks(spark, edges, iters):
+    spark.createDataFrame(edges, "s string, d string, w long").createOrReplaceTempView(
+        "predges"
+    )
+    sql = pagerank_sql("SELECT s, d, w FROM predges", "s", "d", "w", "spark", iters)
+    return {r["node"]: r.asDict() for r in spark.sql(sql).collect()}
+
+
+def test_pagerank_one_round_by_hand(spark):
+    out = _spark_sql_ranks(spark, EDGES, iters=1)
+    damp = SCALE * 85 // 100
+    # a receives all of c's damped mass (w=2 of totw=2) and all of d's
+    assert out["a"]["rank_scaled"] == TELEPORT + damp + damp
+    # b receives 3/4 of a's damped mass
+    assert out["b"]["rank_scaled"] == TELEPORT + (damp * 3) // 4
+    # c receives 1/4 of a's and all of b's
+    assert out["c"]["rank_scaled"] == TELEPORT + (damp * 1) // 4 + damp
+    # d has no in-edges: teleport only
+    assert out["d"]["rank_scaled"] == TELEPORT
+    assert out["d"]["w_in"] == 0 and out["d"]["w_out"] == 5
+
+
+def test_pagerank_dataframe_path_equals_sql(spark):
+    want = {
+        k: v["rank_scaled"] for k, v in _spark_sql_ranks(spark, EDGES, 5).items()
+    }
+    e = spark.createDataFrame(EDGES, "s string, d string, w long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(e, "s", "d", "w", iters=5).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_dialects_agree(spark):
+    spark_out = {
+        k: tuple(v[c] for c in ("rank_scaled", "w_in", "w_out"))
+        for k, v in _spark_sql_ranks(spark, EDGES, 5).items()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE predges (s VARCHAR, d VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO predges VALUES (?, ?, ?)", EDGES)
+    sql = pagerank_sql("SELECT s, d, w FROM predges", "s", "d", "w", "duckdb", 5)
+    duck_out = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert spark_out == duck_out
+
+
+def test_pagerank_mass_is_bounded_and_sink_absorbs(spark):
+    # chain a -> b -> c: c is a sink (dangling), ranks stay positive and
+    # below |V| * SCALE (mass is only ever lost to dangling truncation)
+    edges = [("a", "b", 1), ("b", "c", 1)]
+    out = _spark_sql_ranks(spark, edges, 5)
+    total = sum(v["rank_scaled"] for v in out.values())
+    assert 0 < total <= 3 * SCALE
+    assert out["c"]["rank_scaled"] > out["b"]["rank_scaled"] > out["a"]["rank_scaled"]
