@@ -3078,3 +3078,51 @@ def q_pagerank_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph.pagerank`` DataFrame path localCheckpoints edges once (tested
     equal)."""
     return _sql_query(spark, sf_dir, _pagerank_sql("spark"))
+
+
+def _packing_sql(dialect: str) -> str:
+    from geografir_spark.operators import packing
+
+    return packing.pack_sequences_sql(
+        "documents", "doc_id", "text", "source", dialect, seq_tokens=512
+    )
+
+
+@register("sequence_packing", _packing_sql("duckdb"))
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing manifest: concatenate each source shard's
+    docs in doc_id order, cut into 512-token training sequences, report
+    per-sequence doc/straddle/fill counts (operators/packing.py — all
+    BIGINT window+floor-division arithmetic, per-shard parallel)."""
+    return _sql_query(spark, sf_dir, _packing_sql("spark"), repartition=True)
+
+
+def _retention_sql(dialect: str) -> str:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per day offset — the standard growth-analytics rollup. Two
+    scans of events (first-seen agg + distinct activity), one equi-join on
+    user_id, integer day arithmetic only."""
+    diff = (
+        "date_diff('day', f.cohort, a.d)"
+        if dialect == "duckdb"
+        else "datediff(a.d, f.cohort)"
+    )
+    return f"""
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+               FROM events)
+    SELECT CAST(CAST(f.cohort AS DATE) AS STRING) AS cohort_day,
+           CAST({diff} AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY cohort_day, day_offset
+    """
+
+
+@register("cohort_retention", _retention_sql("duckdb"))
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events (see _retention_sql): first-seen
+    day cohorts × active-day offsets. Both aggs partial map-side; the join
+    key is user_id (broadcastable per-user first-seen relation)."""
+    return _sql_query(spark, sf_dir, _retention_sql("spark"), views=("events",))
