@@ -914,25 +914,63 @@ def q_transform_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / text-analysis / similarity (training-data-pipeline operators)
 # ---------------------------------------------------------------------------
 
+_INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
 def _sql_query(
     spark: SparkSession,
     sf_dir: str,
     spark_sql: str,
     views: tuple = ("documents",),
     repartition: bool = False,
+    no_generate_filter_inference: bool = False,
 ) -> DataFrame:
     """Run generated Spark-dialect SQL against temp views of the sf tables.
 
     ``repartition=True`` spreads each view across cores first — the test
     parquets are single-row-group files (scan parallelism 1), so map-heavy
     per-document work (tokenize, md5) would otherwise run on one task.
-    Production multi-file tables don't need it (the scan is already split)."""
+    Production multi-file tables don't need it (the scan is already split).
+
+    ``no_generate_filter_inference=True`` excludes Catalyst's
+    InferFiltersFromGenerate for THIS plan only: the rule wraps every
+    ``explode(e)`` in ``isnotnull(e) AND size(e) > 0`` and filter pushdown
+    then substitutes the alias, so a computed gram/shingle array gets
+    re-evaluated two extra times per input row on the dominant scan (3×
+    CPU on the hot path — explode already skips null/empty arrays, so the
+    filter is semantically redundant for our generators). The exclusion is
+    baked into this DataFrame by forcing its optimizedPlan under the conf
+    and restoring the conf before returning — no session-level leakage."""
     for v in views:
         df = load_table(spark, sf_dir, v)
         if repartition:
             df = df.repartition(spark.sparkContext.defaultParallelism)
         df.createOrReplaceTempView(v)
-    return spark.sql(spark_sql)
+    out = spark.sql(spark_sql)
+    if no_generate_filter_inference:
+        out = _without_generate_filter_inference(spark, out)
+    return out
+
+
+def _without_generate_filter_inference(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin InferFiltersFromGenerate OFF for this one plan (see _sql_query
+    docstring): force the Dataset's lazily-cached optimizedPlan under the
+    exclusion conf, then restore the conf — later actions reuse the cached
+    plan, so nothing leaks to other queries in the session."""
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, f"{old},{_INFER_GEN_RULE}" if old else _INFER_GEN_RULE)
+    try:
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    return df
 
 
 def _radius_oracle_sql() -> str:
@@ -1026,7 +1064,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("sig") == F.col("sig_b"))
         & (F.col("doc_a") < F.col("doc_b")),
     )
-    return pairs.select("doc_a", "doc_b").distinct()
+    return _without_generate_filter_inference(
+        spark, pairs.select("doc_a", "doc_b").distinct()
+    )
 
 
 @register(
@@ -1164,7 +1204,13 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-batch docs (odd ids) sharing an LSH band bucket with the seen
     corpus (even ids), with match counts and earliest seen match. Full
     pipeline oracle-replayed in DuckDB."""
-    return _sql_query(spark, sf_dir, _inc_minhash_sql("spark"), repartition=True)
+    return _sql_query(
+        spark,
+        sf_dir,
+        _inc_minhash_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
 
 
 _INC_DEDUP_ORACLE = """
@@ -1340,10 +1386,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("fp") == F.col("__fpb"))
         & (F.col("doc_a") < F.col("doc_b")),
     )
-    return (
+    return _without_generate_filter_inference(
+        spark,
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("fp").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
+        .filter(F.col("n_shared") >= 2),
     )
 
 
@@ -1434,7 +1481,13 @@ def _rare_ngram_sql(dialect: str, *, rare_below: int = 50) -> str:
 def q_rare_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source rare-bigram quality stats; docs with >= 5% corpus-rare
     bigrams are flagged."""
-    return _sql_query(spark, sf_dir, _rare_ngram_sql("spark"), repartition=True)
+    return _sql_query(
+        spark,
+        sf_dir,
+        _rare_ngram_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
 
 
 def _repetition_sql(dialect: str, *, flag_pct: int = 20) -> str:
@@ -1560,7 +1613,13 @@ def _rare_terms_sql(dialect: str, *, k: int = 3) -> str:
 def q_rare_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 corpus-rarest terms per source with corpus df and per-source
     doc counts (integer-exact TF-IDF analog)."""
-    return _sql_query(spark, sf_dir, _rare_terms_sql("spark"), repartition=True)
+    return _sql_query(
+        spark,
+        sf_dir,
+        _rare_terms_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
 
 
 def _lang_id_sql(dialect: str) -> str:
@@ -2005,11 +2064,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = enc.selectExpr("doc_id AS doc_a", "source", "toks AS ta", "n_toks AS na")
     b = enc.selectExpr("doc_id AS doc_b", "source AS sb", "toks AS tb", "n_toks AS nb")
     j = a.join(b, (a["source"] == b["sb"]) & (F.col("doc_a") < F.col("doc_b")))
-    return (
+    return _without_generate_filter_inference(
+        spark,
         j.withColumn("n_common", F.expr("size(array_intersect(ta, tb))"))
         .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .filter(F.col("n_common") * 10 >= F.col("n_union") * 3)
-        .select("doc_a", "doc_b", "n_common", "n_union")
+        .select("doc_a", "doc_b", "n_common", "n_union"),
     )
 
 
@@ -2059,7 +2119,13 @@ def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature pass now runs exactly once (bucket-grouped candidates),
     so its parallelism is the scan's — and the test parquet is a single
     row group."""
-    return _sql_query(spark, sf_dir, _lsh_jaccard_refine_sql("spark"), repartition=True)
+    return _sql_query(
+        spark,
+        sf_dir,
+        _lsh_jaccard_refine_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2958,6 +3024,7 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dedup.segment_dedup_sql("documents", "doc_id", "text", "spark"),
         repartition=True,
+        no_generate_filter_inference=True,
     )
 
 
@@ -3037,7 +3104,13 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (operators/dedup.py:decontaminate_sql). The benchmark gram set
     broadcasts; the training side is one scan + explode — no train-side
     shuffle before the final sparse per-doc agg."""
-    return _sql_query(spark, sf_dir, _decontaminate_sql("spark"), repartition=True)
+    return _sql_query(
+        spark,
+        sf_dir,
+        _decontaminate_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
 
 
 def _countmin_sql(dialect: str) -> str:
