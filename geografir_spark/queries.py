@@ -3113,6 +3113,57 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_audit_sql(dialect: str) -> str:
+    """Cross-split near-dup leakage audit. Split assignment is HOST-level
+    (hash of ``source``, 10% eval) — the leakage-safe split rule real
+    pipelines use so near-identical pages from one site can't straddle
+    train/eval. What that rule cannot prevent is CROSS-site near-dups
+    (mirrors, syndication) landing on opposite sides — exactly the
+    contamination doc-level n-gram decontamination (``decontaminate_
+    overlap``) also misses when texts are near- but not exact-overlapping.
+    This audit surfaces them: MinHash-LSH candidate pairs (the scale-
+    correct O(docs×bands) generator, operators/dedup.py:minhash_pairs_sql)
+    joined to split labels, keeping pairs whose sides differ.
+
+    Scale shape: the pair generator is the audited bucketed pipeline (one
+    signature pass, one shuffle); the split join is two hash joins on
+    doc_id against a map-side-computed label — no new shuffle class. The
+    md5-based split hash and the full LSH pipeline are integer-exact in
+    both dialects, so the audit is oracle-checked end-to-end."""
+    from geografir_spark.operators import dedup
+    from geografir_spark.operators.text import hash60_expr
+
+    cand = dedup.minhash_pairs_sql("documents", "doc_id", "text", dialect)
+    h = hash60_expr("source", dialect)
+    return f"""
+    WITH cand AS ({cand}),
+         splits AS (SELECT doc_id, source,
+                           CASE WHEN ({h}) % 10 = 0 THEN 'eval'
+                                ELSE 'train' END AS split
+                    FROM documents)
+    SELECT c.doc_a, c.doc_b, a.source AS source_a, b.source AS source_b,
+           a.split AS split_a, b.split AS split_b
+    FROM cand c
+      JOIN splits a ON a.doc_id = c.doc_a
+      JOIN splits b ON b.doc_id = c.doc_b
+    WHERE a.split <> b.split
+    """
+
+
+@register("split_leakage_pairs", _leakage_audit_sql("duckdb"))
+def q_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that straddle a host-hash train/eval split — the
+    cross-site leakage a host-level split can't prevent and exact n-gram
+    decontamination misses (see _leakage_audit_sql)."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        _leakage_audit_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
+
+
 def _countmin_sql(dialect: str) -> str:
     from geografir_spark.operators import sketch
 
