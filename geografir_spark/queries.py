@@ -1189,6 +1189,72 @@ def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _host_quota_sql("spark"))
 
 
+def _lang_balanced_sql(dialect: str, *, n_salts: int = 16) -> str:
+    """Language-balanced mixture sampling: downsample every language to
+    the SMALLEST language's document count (equal-mixture rebalancing —
+    the data-mixture step multilingual pre-training pipelines apply so
+    high-resource languages don't drown the mix), documents chosen
+    deterministically by (hash60(doc_id), doc_id) order.
+
+    The quota is DYNAMIC (min per-lang count via a scalar subquery), so
+    unlike ``host_quota_sample`` the cap adapts to the corpus. Same scale
+    discipline though: ``lang`` is a catastrophically low-cardinality
+    window key (one reducer per language at 100 TB), so the Spark branch
+    takes the per-(lang, salt) top-quota first — n_salts reducers share a
+    language — then re-ranks the ≤ quota×n_salts survivors. The global
+    per-lang top-quota in (hsh, doc_id) order is contained in the union
+    of per-salt top-quotas, so the two-phase result is identical to the
+    DuckDB single-window contract."""
+    from geografir_spark.operators.text import hash60_expr
+
+    h = hash60_expr("CAST(doc_id AS STRING)", dialect)
+    final = """
+    SELECT r.lang, cnt.n_docs, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.n_chars) AS BIGINT) AS kept_chars,
+           min(r.doc_id) AS first_kept
+    FROM r, q
+      JOIN cnt ON cnt.lang = r.lang
+    WHERE r.rn <= q.quota
+    GROUP BY r.lang, cnt.n_docs
+    """
+    if dialect == "duckdb":
+        return f"""
+        WITH p AS (SELECT doc_id, lang, n_chars, ({h}) AS hsh FROM documents),
+             cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM p GROUP BY lang),
+             q AS (SELECT min(n_docs) AS quota FROM cnt),
+             r AS (SELECT lang, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY hsh, doc_id) AS rn
+                   FROM p)
+        {final}
+        """
+    return f"""
+    WITH p AS (SELECT doc_id, lang, n_chars, ({h}) AS hsh FROM documents),
+         cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM p GROUP BY lang),
+         q AS (SELECT min(n_docs) AS quota FROM cnt),
+         r1 AS (SELECT lang, doc_id, n_chars, hsh,
+                       row_number() OVER (PARTITION BY lang, pmod(hsh, {n_salts})
+                                          ORDER BY hsh, doc_id) AS rn1
+                FROM p),
+         c AS (SELECT lang, doc_id, n_chars, hsh FROM r1, q WHERE rn1 <= q.quota),
+         r AS (SELECT lang, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY hsh, doc_id) AS rn
+               FROM c)
+    {final}
+    """
+
+
+@register("lang_balanced_sample", _lang_balanced_sql("duckdb"))
+def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mixture language rebalancing: every language downsampled to
+    the smallest language's count, deterministic hash order, two-phase
+    salted windows on the Spark side (see _lang_balanced_sql)."""
+    return _sql_query(spark, sf_dir, _lang_balanced_sql("spark"))
+
+
 def _inc_minhash_sql(dialect: str) -> str:
     from geografir_spark.operators import dedup
 
