@@ -1255,6 +1255,100 @@ def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _lang_balanced_sql("spark"))
 
 
+def _centroid_outlier_sql(dialect: str, *, k: int = 2, n_salts: int = 16) -> str:
+    """Per-cluster embedding centrality: the ``k`` documents FARTHEST from
+    their label's centroid — the prune candidates of SemDeDup-style
+    semantic filtering and CLIP-score-style quality filtering ("does this
+    item belong to its group?").
+
+    Exactness scheme (the repo's integer-fixed-point discipline, cf.
+    pagerank/HLL): embeddings are quantized to 8 fractional bits
+    (``floor(x·256)`` — float→double is exact, the product and floor are
+    exact, so both engines quantize identically), centroids are
+    element-wise integer SUMS (not means — cosine is scale-invariant, and
+    integer sums are addition-order-insensitive where float means are
+    not), and dot/norms accumulate in BIGINT (dim 64 × 8-bit components ×
+    500-doc centroids peak at 2^59 ≪ 2^63). The ONLY float op is the
+    final per-row centrality ``dot / sqrt(na) / sqrt(nb)`` — division and
+    sqrt are correctly-rounded IEEE on integer-exact inputs, so the
+    doubles are bit-identical across engines.
+
+    Scale shape: the quantize+posexplode side is map-only; the centroid
+    is a (labels × dim)-row aggregate that BROADCASTS back (no large-side
+    shuffle beyond the per-vec_id dot regroup, 64 rows/key); and because
+    ``label`` is a catastrophically low-cardinality window key, the
+    bottom-k ranking runs per (label, salt) first, then re-ranks the
+    ≤ k·n_salts survivors — the two-phase contract proven for
+    host/lang quota sampling."""
+    cast_q = "CAST(floor(CAST(x AS DOUBLE) * 256.0) AS BIGINT)"
+    cen = "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE))"
+    if dialect == "duckdb":
+        return f"""
+        WITH q AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> {cast_q}) AS s
+                   FROM embeddings),
+             ex AS (SELECT vec_id, label, unnest(s) AS sv,
+                           unnest(range(1, len(s) + 1)) AS i
+                    FROM q),
+             cent AS (SELECT label, i, CAST(sum(sv) AS BIGINT) AS cv
+                      FROM ex GROUP BY label, i),
+             dots AS (SELECT e.vec_id, e.label,
+                             CAST(sum(e.sv * c.cv) AS BIGINT) AS dot,
+                             CAST(sum(e.sv * e.sv) AS BIGINT) AS na
+                      FROM ex e JOIN cent c ON c.label = e.label AND c.i = e.i
+                      GROUP BY e.vec_id, e.label),
+             nbs AS (SELECT label, CAST(sum(cv * cv) AS BIGINT) AS nb
+                     FROM cent GROUP BY label),
+             cenr AS (SELECT d.vec_id, d.label, d.dot, d.na, n.nb,
+                             {cen} AS centrality
+                      FROM dots d JOIN nbs n ON n.label = d.label),
+             r AS (SELECT *, row_number() OVER (PARTITION BY label
+                                                ORDER BY centrality, vec_id) AS rnk
+                   FROM cenr)
+        SELECT label, vec_id, dot, na, nb, centrality, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {k}
+        """
+    return f"""
+    WITH q AS (SELECT vec_id, label,
+                      transform(embedding, x -> {cast_q}) AS s
+               FROM embeddings),
+         ex AS (SELECT vec_id, label, pos + 1 AS i, col AS sv
+                FROM (SELECT vec_id, label, posexplode(s) FROM q)),
+         cent AS (SELECT label, i, CAST(sum(sv) AS BIGINT) AS cv
+                  FROM ex GROUP BY label, i),
+         dots AS (SELECT /*+ BROADCAST(c) */ e.vec_id, e.label,
+                         CAST(sum(e.sv * c.cv) AS BIGINT) AS dot,
+                         CAST(sum(e.sv * e.sv) AS BIGINT) AS na
+                  FROM ex e JOIN cent c ON c.label = e.label AND c.i = e.i
+                  GROUP BY e.vec_id, e.label),
+         nbs AS (SELECT label, CAST(sum(cv * cv) AS BIGINT) AS nb
+                 FROM cent GROUP BY label),
+         cenr AS (SELECT /*+ BROADCAST(n) */ d.vec_id, d.label, d.dot, d.na,
+                         n.nb, {cen} AS centrality
+                  FROM dots d JOIN nbs n ON n.label = d.label),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY label, pmod(vec_id, {n_salts})
+                                             ORDER BY centrality, vec_id) AS rnk1
+                FROM cenr),
+         c2 AS (SELECT vec_id, label, dot, na, nb, centrality
+                FROM r1 WHERE rnk1 <= {k}),
+         r AS (SELECT *, row_number() OVER (PARTITION BY label
+                                            ORDER BY centrality, vec_id) AS rnk
+               FROM c2)
+    SELECT label, vec_id, dot, na, nb, centrality, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@register("centroid_outliers", _centroid_outlier_sql("duckdb"))
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k least-central embeddings per label cluster — semantic
+    quality-filter prune candidates, integer-fixed-point exact with one
+    final IEEE division (see _centroid_outlier_sql)."""
+    return _sql_query(
+        spark, sf_dir, _centroid_outlier_sql("spark"), views=("embeddings",)
+    )
+
+
 def _inc_minhash_sql(dialect: str) -> str:
     from geografir_spark.operators import dedup
 
