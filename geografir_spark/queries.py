@@ -1349,6 +1349,73 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dissolve_sql(dialect: str) -> str:
+    """Dissolve (geometric union) of the nation zones per REGION, expressed
+    on the cell lattice: each zone's res-6 cell cover is generated in pure
+    SQL (axis-index ranges → lateral explode → Morton encode, the same
+    dual-dialect bit fragments every tiling query uses), the union is a
+    DISTINCT over (region, cell), and the dissolve report is per region:
+    zone count, cover rows with multiplicity, distinct union cells, the
+    overlap dissolved away, and the union coverage in degree² (res-6 cell
+    = 5.625° × 2.8125°, both exact binary fractions, so the one double
+    multiply is bit-identical across engines).
+
+    This is the scale shape for polygon dissolve at 100 TB: covers
+    generate map-side (no geometry ever shuffles), the union is one
+    distinct on fine-grained (region, cell) keys, and per-region stats are
+    a partial-aggregated rollup. The exact-geometry alternative (pairwise
+    polygon clipping) is inherently serial per overlap cluster; the
+    lattice union is embarrassingly parallel with resolution as the knob."""
+    from geografir_spark.geo import cells
+
+    res = PIP_RES  # 6 → 5.625° × 2.8125° cells, exact binary fractions
+    cw, ch = 360.0 / (1 << res), 180.0 / (1 << res)
+    seq = (
+        (lambda lo, hi: f"explode(sequence({lo}, {hi}))")
+        if dialect == "spark"
+        else (lambda lo, hi: f"unnest(range({lo}, {hi} + 1))")
+    )
+    enc = cells.nested_sql(
+        "SELECT region_key, zone_id, ix AS xi, iy AS yi FROM grid",
+        cells.encode_idx_steps("xi", "yi", res),
+    )
+    return f"""
+    WITH zb AS (SELECT n_nationkey AS zone_id, n_regionkey AS region_key,
+                       {cells.axis_index_sql(ZONE_MINX, res, lat=False)} AS xlo,
+                       {cells.axis_index_sql(ZONE_MAXX, res, lat=False)} AS xhi,
+                       {cells.axis_index_sql(ZONE_MINY, res, lat=True)} AS ylo,
+                       {cells.axis_index_sql(ZONE_MAXY, res, lat=True)} AS yhi
+                FROM nation),
+         gx AS (SELECT zone_id, region_key, ylo, yhi, {seq('xlo', 'xhi')} AS ix
+                FROM zb),
+         grid AS (SELECT zone_id, region_key, ix, {seq('ylo', 'yhi')} AS iy
+                  FROM gx),
+         cellt AS ({enc}),
+         u AS (SELECT region_key, cell, CAST(count(*) AS BIGINT) AS mult
+               FROM cellt GROUP BY region_key, cell),
+         agg AS (SELECT region_key, CAST(sum(mult) AS BIGINT) AS n_cell_rows,
+                        CAST(count(*) AS BIGINT) AS n_cells
+                 FROM u GROUP BY region_key),
+         zn AS (SELECT region_key, CAST(count(*) AS BIGINT) AS n_zones
+                FROM zb GROUP BY region_key)
+    SELECT z.region_key, z.n_zones, a.n_cell_rows, a.n_cells,
+           a.n_cell_rows - a.n_cells AS n_overlap_cells,
+           CAST(a.n_cells AS DOUBLE) * {cw!r} * {ch!r} AS coverage_deg2
+    FROM zn z JOIN agg a ON a.region_key = z.region_key
+    """
+
+
+@register("region_dissolve", _dissolve_sql("duckdb"))
+def q_region_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region dissolve (union) of zone rectangles on the res-6 cell
+    lattice: distinct-cell union, overlap dissolved, coverage report —
+    pure dual-dialect SQL over the shared Morton fragments
+    (see _dissolve_sql)."""
+    return _sql_query(
+        spark, sf_dir, _dissolve_sql("spark"), views=("nation",)
+    )
+
+
 def _inc_minhash_sql(dialect: str) -> str:
     from geografir_spark.operators import dedup
 
