@@ -1416,6 +1416,75 @@ def q_region_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collocation_sql(dialect: str, *, min_support: int = 5, k: int = 20) -> str:
+    """PMI collocation mining (phrase extraction): the top-``k`` bigrams by
+    pointwise-mutual-information lift ``p(ab) / (p(a)·p(b))`` with support
+    ≥ ``min_support`` — the statistic multi-word-expression tokenizer
+    vocabularies and phrase-mining passes rank by. PMI's log is monotone,
+    so ranking by the RAW lift ratio avoids the one libm function (log)
+    whose rounding is not guaranteed identical across engines; the ratio
+    itself is a fixed left-to-right chain of divisions/multiplications on
+    integer-exact counts, hence bit-identical doubles.
+
+    Scale shape: two explode+count aggregations (tokens, bigrams — both
+    partial-aggregated map-side), two broadcast scalar totals, a join of
+    bigram counts to the unigram table on each component (fine-grained
+    string keys, no skew beyond stopwords which min_support keeps), and a
+    global top-k (TakeOrdered — no full sort). The bigram CTE feeds both
+    the support filter and the total; Spark inlines multiply-referenced
+    CTEs (no auto-materialization), so a production run over a real
+    corpus should persist the bigram counts — one narrow cached table —
+    before the two consumers."""
+    from geografir_spark.operators.dedup import _shingles_expr
+    from geografir_spark.operators.text import tokens_expr
+
+    toks = tokens_expr("text", dialect)
+    grams = _shingles_expr("text", 2, dialect)
+    if dialect == "spark":
+        tok_rows = f"SELECT explode({toks}) AS tok FROM documents"
+        bg_rows = f"SELECT explode({grams}) AS bigram FROM documents"
+        part = lambda n: f"split(bigram, ' ')[{n - 1}]"  # noqa: E731 (0-based)
+    else:
+        tok_rows = f"SELECT unnest({toks}) AS tok FROM documents"
+        bg_rows = f"SELECT unnest({grams}) AS bigram FROM documents"
+        part = lambda n: f"string_split(bigram, ' ')[{n}]"  # noqa: E731
+    lift = (
+        "CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        " * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)"
+        " / CAST(n_bi AS DOUBLE)"
+    )
+    return f"""
+    WITH uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                 FROM ({tok_rows}) GROUP BY tok),
+         nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uni),
+         biall AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+                   FROM ({bg_rows}) GROUP BY bigram),
+         bi AS (SELECT bigram, n_ab FROM biall WHERE n_ab >= {min_support}),
+         nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM biall),
+         j AS (SELECT b.bigram, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+                      nu.n_uni, nb.n_bi
+               FROM bi b
+                 JOIN uni ua ON ua.tok = {part(1)}
+                 JOIN uni ub ON ub.tok = {part(2)}, nu, nb)
+    SELECT bigram, n_ab, n_a, n_b, {lift} AS lift
+    FROM j ORDER BY lift DESC, bigram LIMIT {k}
+    """
+
+
+@register("pmi_collocations", _collocation_sql("duckdb"))
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI-lift bigram collocations with support ≥ 5 — integer
+    counts, one fixed-order double ratio, global top-k
+    (see _collocation_sql)."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        _collocation_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
+
+
 def _inc_minhash_sql(dialect: str) -> str:
     from geografir_spark.operators import dedup
 
