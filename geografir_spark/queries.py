@@ -1485,6 +1485,56 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anomaly_sql(dialect: str) -> str:
+    """Daily-volume spike detection per event type, INTEGER-EXACT: flag
+    days whose count exceeds the type's mean by more than 2 population
+    standard deviations. The z-test is cross-multiplied into integers —
+    ``x > μ + 2σ  ⇔  n·x − S > 0  AND  (n·x − S)² > 4·(n·Q − S²)`` with
+    S = Σx, Q = Σx² — so no float ever forms and both engines agree
+    bit-for-bit (the reported zscore_sq ratio is one fixed-order double
+    division on the already-exact integers). BIGINT bounds: the squared
+    term needs (n·x)² ≪ 2^63, i.e. day-count × daily-volume < ~3·10⁹ —
+    ample for per-type daily rollups; a wider window at petabyte volume
+    moves the same algebra to DECIMAL(38,0).
+
+    Scale shape: one partial-aggregated (type, day) rollup, one tiny
+    per-type moment aggregation that broadcasts back, flag evaluation
+    map-side — a monitoring query whose cost is one scan regardless of
+    corpus size."""
+    us = (
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+        if dialect == "spark"
+        else "epoch_us(ts)"
+    )
+    day = (
+        f"({us} DIV 86400000000)" if dialect == "spark" else f"({us} // 86400000000)"
+    )
+    return f"""
+    WITH d AS (SELECT event_type, {day} AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(n) AS BIGINT) AS s,
+                      CAST(sum(n * n) AS BIGINT) AS q
+               FROM d GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n, m.n_days, m.s, m.q,
+           (CAST((m.n_days * d.n - m.s) AS DOUBLE)
+            * CAST((m.n_days * d.n - m.s) AS DOUBLE)
+            / CAST((m.n_days * m.q - m.s * m.s) AS DOUBLE)) AS zscore_sq
+    FROM d JOIN m ON m.event_type = d.event_type
+    WHERE m.n_days * d.n - m.s > 0
+      AND (m.n_days * d.n - m.s) * (m.n_days * d.n - m.s)
+          > 4 * (m.n_days * m.q - m.s * m.s)
+    """
+
+
+@register("event_spike_days", _anomaly_sql("duckdb"))
+def q_event_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike days (> mean + 2σ) per event type — integer cross-multiplied
+    z-test, one scan, per-type moments broadcast (see _anomaly_sql)."""
+    return _sql_query(spark, sf_dir, _anomaly_sql("spark"), views=("events",))
+
+
 def _inc_minhash_sql(dialect: str) -> str:
     from geografir_spark.operators import dedup
 
