@@ -1535,6 +1535,110 @@ def q_event_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _anomaly_sql("spark"), views=("events",))
 
 
+def _drift_sql(dialect: str, *, min_support: int = 20, k: int = 20) -> str:
+    """Snapshot drift monitoring: the top-``k`` tokens whose frequency
+    shifted most between two corpus snapshots (deterministic ``doc_id % 2``
+    stand-ins for consecutive crawls) — the distribution-shift check a
+    continuously-refreshed training corpus needs before a new snapshot is
+    admitted to the mix.
+
+    Per-token two-sample chi-square term, kept exact: with o₁/o₂ the
+    token's counts and N₁/N₂ the snapshot totals, the score is
+    ``(o₁N₂ − o₂N₁)² / ((o₁+o₂)·N₁·N₂)``. The cross terms o·N stay in
+    BIGINT; only the square is formed in DOUBLE (one fixed-order
+    cast-multiply-divide chain, bit-identical across engines). A SUMMED
+    chi-square statistic would add doubles in shuffle order — not
+    reproducible — so the query reports the per-token top-k instead,
+    which is also the actionable artifact (which tokens drifted, not just
+    that something did).
+
+    Scale shape: one explode+count per snapshot side carried in a single
+    grouped scan (the side is an integer column, not two scans), FULL
+    OUTER-free (missing side = 0 via conditional sums), two broadcast
+    scalar totals, map-side score, global TakeOrdered top-k."""
+    from geografir_spark.operators.text import tokens_expr
+
+    toks = tokens_expr("text", dialect)
+    ex = "explode" if dialect == "spark" else "unnest"
+    num = (
+        "CAST(o1 * n2 - o2 * n1 AS DOUBLE)"
+    )
+    score = (
+        f"({num} * {num}"
+        " / (CAST(o1 + o2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH t AS (SELECT CAST(doc_id % 2 AS BIGINT) AS side, tok
+               FROM (SELECT doc_id, {ex}({toks}) AS tok FROM documents)),
+         c AS (SELECT tok,
+                      CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+                      CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+               FROM t GROUP BY tok),
+         n AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+                      CAST(sum(o2) AS BIGINT) AS n2
+               FROM c)
+    SELECT tok, o1, o2, n1, n2, {score} AS drift_score
+    FROM c, n
+    WHERE o1 + o2 >= {min_support}
+    ORDER BY drift_score DESC, tok LIMIT {k}
+    """
+
+
+@register("snapshot_drift_tokens", _drift_sql("duckdb"))
+def q_snapshot_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by two-sample chi-square drift between corpus
+    snapshots — integer-exact counts, one fixed-order double score,
+    global top-k (see _drift_sql)."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        _drift_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d_c
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    )
+    SELECT o.o_orderkey,
+           CAST(sum(l.p_c * (100 - l.d_c)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+"""
+
+
+@register("shipping_priority_topk", _SHIPPING_PRIORITY_SQL)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: top-10 unshipped BUILDING-segment
+    orders by revenue. Revenue accumulates in integer cents² (the Q1
+    discipline — addition-order-insensitive, one final double divide);
+    the order date is cast DATE→STRING in both dialects (the documented
+    Spark-date vs DuckDB-datetime64 hash hazard). Plan shape: the
+    segment-filtered customer side and the date-filtered orders side
+    hash-join on custkey with both filters pushed to the scans, lineitem
+    pre-aggregates nothing (per-order groups are small), and the top-10 is
+    TakeOrdered — no global sort at any scale."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        _SHIPPING_PRIORITY_SQL,
+        views=("customer", "orders", "lineitem"),
+    )
+
+
 def _inc_minhash_sql(dialect: str) -> str:
     from geografir_spark.operators import dedup
 
