@@ -1620,6 +1620,70 @@ _SHIPPING_PRIORITY_SQL = """
 """
 
 
+def _morans_i_sql(dialect: str) -> str:
+    """Moran's I spatial autocorrelation of page density on the cell
+    lattice — THE classic "is this clustered or random?" statistic of
+    spatial analysis, over the geocoded pages rolled up to res-4 cells
+    with rook (edge) adjacency among observed cells.
+
+    Exactness: with integer cell counts c_i, n cells and S total pages,
+    substitute Z_i = n·c_i − S (= n·(c_i − μ), all BIGINT) — numerator
+    Σ_adj Z_i·Z_j and denominator Σ Z_i² pick up the same n² factor, so
+    the ratio is unchanged and every accumulation is integer
+    (order-insensitive). The final I = (n/W)·(num/den) is one fixed-order
+    double chain. BIGINT headroom: |Z| ≤ n·S, so the summed products need
+    n²·S²·W ≪ 2^63 — fine for coarse-res rollups (n ≤ 256 here); a
+    fine-res lattice at petabyte counts moves the same algebra to
+    DECIMAL(38,0).
+
+    Scale shape: one rollup agg, Morton-decode to (xi, yi) via the shared
+    bit fragments (pure projection), rook adjacency as TWO hash
+    equi-joins on shifted indices (a.xi+1 = b.xi etc. — Catalyst extracts
+    the expression keys; never an OR-join nested loop), three scalar
+    aggregates that broadcast. No geometry, no UDFs, no full sort."""
+    from geografir_spark.geo import cells
+
+    base = _geocoded_base_sql(dialect)
+    dec = cells.nested_sql(
+        "SELECT pcell, c FROM cc", cells.compact_steps("pcell", "xi", "yi")
+    )
+    return f"""
+    WITH g AS ({base}),
+         cc AS (SELECT {cells.parent_sql('cell', ROLLUP_RES)} AS pcell,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM g GROUP BY 1),
+         t AS ({dec}),
+         scal AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s
+                  FROM cc),
+         zz AS (SELECT t.xi, t.yi, (scal.n * t.c - scal.s) AS z
+                FROM t, scal),
+         ex AS (SELECT a.z * b.z AS p FROM zz a
+                JOIN zz b ON a.xi + 1 = b.xi AND a.yi = b.yi),
+         ey AS (SELECT a.z * b.z AS p FROM zz a
+                JOIN zz b ON a.xi = b.xi AND a.yi + 1 = b.yi),
+         eall AS (SELECT p FROM ex UNION ALL SELECT p FROM ey),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                        CAST(coalesce(sum(p), 0) AS BIGINT) AS half_num
+                 FROM eall),
+         dd AS (SELECT CAST(sum(z * z) AS BIGINT) AS den FROM zz)
+    SELECT scal.n AS n_cells, scal.s AS n_pages, agg.n_edges,
+           2 * agg.half_num AS num, dd.den AS den,
+           (CAST(scal.n AS DOUBLE) * CAST(2 * agg.half_num AS DOUBLE)
+            / (CAST(2 * agg.n_edges AS DOUBLE) * CAST(dd.den AS DOUBLE)))
+               AS morans_i
+    FROM scal, agg, dd
+    """
+
+
+@register("morans_i_pages", _morans_i_sql("duckdb"))
+def q_morans_i_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I of geocoded page density (rook adjacency, res-4 rollup)
+    — integer-exact numerator/denominator, one final double
+    (see _morans_i_sql)."""
+    return _sql_query(spark, sf_dir, _morans_i_sql("spark"))
+
+
 @register("shipping_priority_topk", _SHIPPING_PRIORITY_SQL)
 def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style shipping priority: top-10 unshipped BUILDING-segment
