@@ -2136,6 +2136,29 @@ def q_rare_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "merge", "window", "hash")
+
+
+def _bm25_sql(dialect: str) -> str:
+    from geografir_spark.operators.ranking import bm25_sql
+
+    return bm25_sql("documents", "doc_id", "text", _BM25_TERMS, dialect)
+
+
+@register("bm25_topk", _bm25_sql("duckdb"))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 docs for a 4-term bag-of-words query by rational-idf BM25
+    (log-free, micro-integer scores — see operators/ranking.py). The
+    lexical leg of hybrid retrieval next to ann_cosine_topk."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        _bm25_sql("spark"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
+
+
 def _lang_id_sql(dialect: str) -> str:
     from geografir_spark.operators import text as textops
 
