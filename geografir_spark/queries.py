@@ -2836,6 +2836,23 @@ def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_sql(dialect: str) -> str:
+    from geografir_spark.operators.scd import scd2_sql
+
+    return scd2_sql(
+        "orders", "o_custkey", "o_orderpriority", "o_orderdate",
+        "o_orderkey", dialect,
+    )
+
+
+@register("scd2_priority_history", _scd2_sql("duckdb"))
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals of each customer's order priority — the
+    CDC changelog → temporal-table build (operators/scd.py): one shuffle
+    on the key serves the lag change-detect and the lead/version windows."""
+    return _sql_query(spark, sf_dir, _scd2_sql("spark"), views=("orders",))
+
+
 # ---------------------------------------------------------------------------
 # Pricing summary (TPC-H Q1 shape) — classic hash aggregation with exact
 # arithmetic: money is summed in integer cents so Spark's nondeterministic
