@@ -1416,6 +1416,40 @@ def q_region_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target zones for areal interpolation: 5 longitude bands from region
+# (72° wide, full latitude) — a second, unrelated zone system overlapping
+# many of the 25 nation rect zones
+_TGT_ZONES_SQL = (
+    "SELECT r_regionkey AS tgt_id,"
+    " CAST(r_regionkey AS DOUBLE) * 72.0 - 180.0 AS minx,"
+    " -90.0 AS miny,"
+    " CAST(r_regionkey AS DOUBLE) * 72.0 - 108.0 AS maxx,"
+    " 90.0 AS maxy FROM region"
+)
+
+
+def _areal_sql(dialect: str) -> str:
+    from geografir_spark.operators.areal import areal_interp_sql
+
+    src = (
+        f"SELECT n_nationkey AS src_id, {ZONE_MINX} AS minx,"
+        f" {ZONE_MINY} AS miny, {ZONE_MAXX} AS maxx, {ZONE_MAXY} AS maxy,"
+        " CAST((n_nationkey + 1) * 1000 AS BIGINT) AS pop FROM nation"
+    )
+    return areal_interp_sql(f"({src})", f"({_TGT_ZONES_SQL})", "pop", dialect)
+
+
+@register("areal_interp", _areal_sql("duckdb"))
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted re-aggregation of a per-nation-zone measure onto 5
+    longitude-band target zones (operators/areal.py) — the zone-system
+    re-basing statistic; micro-integer contributions keep both engines
+    bit-identical."""
+    return _sql_query(
+        spark, sf_dir, _areal_sql("spark"), views=("nation", "region")
+    )
+
+
 def _collocation_sql(dialect: str, *, min_support: int = 5, k: int = 20) -> str:
     """PMI collocation mining (phrase extraction): the top-``k`` bigrams by
     pointwise-mutual-information lift ``p(ab) / (p(a)·p(b))`` with support
