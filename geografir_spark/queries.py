@@ -767,6 +767,59 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_stats_tiles(tiles, nodata=-1.0, tile_px=8)
 
 
+@register(
+    "slope_stats",
+    f"""
+    WITH grid AS (SELECT t1.xi, t2.yi
+                  FROM (SELECT unnest(range(5, 11)) AS xi) t1,
+                       (SELECT unnest(range(5, 11)) AS yi) t2),
+         cellt AS ({cells.nested_sql("SELECT xi, yi FROM grid", _ZONAL_CELL_STEPS)}),
+         px AS (SELECT cell, xi, yi, unnest(range(0, 64)) AS i FROM cellt),
+         pv AS (SELECT cell,
+                       xi * 8 + (i % 8) AS gx,
+                       yi * 8 + (7 - i // 8) AS gy,
+                       {_ZONAL_PIXEL_VALUE} AS val
+                FROM px),
+         f AS (SELECT a.cell, a.gx, a.gy,
+                      count(*) AS n_nb,
+                      min(CASE WHEN b.val = -1.0 THEN 0 ELSE 1 END)
+                        AS all_valid,
+                      CAST(sum((b.gx - a.gx) * (2 - abs(b.gy - a.gy))
+                               * CAST(b.val AS BIGINT)) AS BIGINT) AS gxn,
+                      CAST(sum((b.gy - a.gy) * (2 - abs(b.gx - a.gx))
+                               * CAST(b.val AS BIGINT)) AS BIGINT) AS gyn
+               FROM pv a JOIN pv b
+                 ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+               GROUP BY a.cell, a.gx, a.gy)
+    SELECT cell, count(*) AS n_px,
+           CAST(sum(gxn * gxn + gyn * gyn) AS BIGINT) AS sum_slope2,
+           CAST(max(gxn * gxn + gyn * gyn) AS BIGINT) AS max_slope2
+    FROM f WHERE n_nb = 9 AND all_valid = 1
+    GROUP BY cell
+    """,
+)
+def q_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-gradient squared-slope statistics over the tiled mosaic
+    (raster/focal.py slope_stats_tiles): same O(perimeter) halo exchange
+    as focal_stats, integer-exact gx²+gy² so no trig enters the oracle
+    contract; windows containing nodata are voided (a derivative over a
+    hole is a fabricated cliff). The oracle rebuilds the lattice and
+    applies the Horn weights (dx·(2−|dy|), dy·(2−|dx|)) via the banded
+    self-join."""
+    from geografir_spark.raster.focal import slope_stats_tiles
+
+    grid = (
+        spark.range(5, 11).selectExpr("id AS xi")
+        .crossJoin(spark.range(5, 11).selectExpr("id AS yi"))
+    )
+    t = cells.apply_steps(grid, _ZONAL_CELL_STEPS)
+    tiles = t.selectExpr(
+        "cell", "xi", "yi",
+        f"transform(sequence(0, 63), i -> {_ZONAL_PIXEL_VALUE}) AS pixels",
+    )
+    return slope_stats_tiles(tiles, nodata=-1.0, tile_px=8)
+
+
 # ---------------------------------------------------------------------------
 # Reprojection as a query (st_transform lifted; EPSG:3857 is closed-form SQL
 # on both engines, so the vendored transform is oracle-checkable end-to-end)

@@ -144,3 +144,96 @@ def focal_stats_tiles(
             )
 
     return joined.mapInPandas(kernel, schema=schema)
+
+
+# Horn 3×3 gradient kernels (row 0 = NORTH in the padded array).
+# gx: west→east differences; gy: north−south (gy increases northward).
+_HORN_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float64)
+_HORN_Y = np.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=np.float64)
+
+
+def slope_stats_tiles(
+    tiles: DataFrame,
+    *,
+    nodata: float = -1.0,
+    tile_px: int = 8,
+) -> DataFrame:
+    """Per-tile Horn-gradient (slope) statistics with halo exchange —
+    the slope/hillshade map-algebra primitive, INTEGER-EXACT: on
+    integer-valued pixels the Horn numerators gx = (c+2f+i)−(a+2d+g) and
+    gy = (a+2b+c)−(g+2h+i) are exact integers, and the reported
+    statistic is the squared gradient magnitude gx²+gy² (monotone in
+    slope for a fixed pixel pitch), so no libm trig enters the contract
+    and both engines hash identically. Real hillshade = one extra
+    atan2/cos pass over these two numerators — deliberately outside the
+    oracle-checked surface.
+
+    Support rule (stricter than focal sum, correct for derivatives): a
+    pixel is reported only when its full 3×3 window is inside the mosaic
+    AND contains no nodata — a gradient over a zeroed hole would be a
+    fabricated cliff, so holes void the window instead.
+
+    Output: (cell, n_px, sum_slope2, max_slope2) as BIGINTs. Same
+    O(perimeter) halo shuffle + Arrow kernel shape as focal_stats_tiles.
+    """
+    n = tile_px
+    msgs = halo_messages(tiles).groupBy("to_xi", "to_yi").agg(
+        F.collect_list(F.struct("sx", "sy", "vals")).alias("halos")
+    )
+    joined = tiles.join(
+        msgs,
+        (tiles["xi"] == msgs["to_xi"]) & (tiles["yi"] == msgs["to_yi"]),
+        "left",
+    ).select("cell", "pixels", "halos")
+
+    schema = "cell bigint, n_px bigint, sum_slope2 bigint, max_slope2 bigint"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for cell, pixels, halos in zip(pdf["cell"], pdf["pixels"], pdf["halos"]):
+                padded = np.full((n + 2, n + 2), np.nan)
+                padded[1 : n + 1, 1 : n + 1] = np.asarray(
+                    pixels, dtype=np.float64
+                ).reshape(n, n)
+                if halos is not None:
+                    for h in halos:
+                        sx, sy, vals = h["sx"], h["sy"], np.asarray(
+                            h["vals"], dtype=np.float64
+                        )
+                        ri = 0 if sy == 1 else (n + 1 if sy == -1 else None)
+                        ci = n + 1 if sx == 1 else (0 if sx == -1 else None)
+                        if ri is not None and ci is not None:
+                            padded[ri, ci] = vals[0]
+                        elif ri is not None:
+                            padded[ri, 1 : n + 1] = vals
+                        else:
+                            padded[1 : n + 1, ci] = vals
+                bad = np.isnan(padded) | (padded == nodata)
+                vals9 = np.where(bad, 0.0, padded)
+                gx = np.zeros((n, n))
+                gy = np.zeros((n, n))
+                support = np.ones((n, n), dtype=bool)
+                for dr in range(3):
+                    for dc in range(3):
+                        w = vals9[dr : dr + n, dc : dc + n]
+                        gx += _HORN_X[dr, dc] * w
+                        gy += _HORN_Y[dr, dc] * w
+                        support &= ~bad[dr : dr + n, dc : dc + n]
+                slope2 = gx * gx + gy * gy  # integer-valued doubles < 2^53
+                n_px = int(support.sum())
+                recs.append(
+                    (
+                        cell,
+                        n_px,
+                        int(slope2[support].sum()) if n_px else 0,
+                        int(slope2[support].max()) if n_px else None,
+                    )
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=["cell", "n_px", "sum_slope2", "max_slope2"]
+            )
+
+    return joined.mapInPandas(kernel, schema=schema)

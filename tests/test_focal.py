@@ -87,3 +87,61 @@ def test_halo_messages_shape(spark, tiles_df):
         .selectExpr("n").collect()
     )
     assert sizes == [1, 8]
+
+
+def test_slope_matches_bruteforce(spark, tiles_df):
+    """Horn squared-gradient via halo exchange vs whole-mosaic numpy brute
+    force — including the stricter support rule (any nodata in the 3×3
+    window voids the pixel, unlike focal sum's zero-fill)."""
+    from geografir_spark.raster.focal import slope_stats_tiles
+
+    rows = [(r["cell"], r["xi"], r["yi"], r["pixels"]) for r in tiles_df.collect()]
+    G = _mosaic(rows)
+    H, W = G.shape
+    bad = np.isnan(G) | (G == -1.0)
+    wx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=float)
+
+    expected = {}
+    for cell, xi, yi, _ in rows:
+        n_px, s, mx = 0, 0, None
+        for r in range(8):
+            for c in range(8):
+                gy, gx = yi * 8 + (7 - r), xi * 8 + c
+                if gy - 1 < 0 or gy + 1 >= H or gx - 1 < 0 or gx + 1 >= W:
+                    continue
+                win = G[gy - 1 : gy + 2, gx - 1 : gx + 2]
+                if bad[gy - 1 : gy + 2, gx - 1 : gx + 2].any():
+                    continue  # derivative over a hole = fabricated cliff
+                # note G is indexed [gy][gx] with gy increasing NORTH, so
+                # win rows run south→north; wx is symmetric under row flip
+                # and wx.T under column flip, so the squared sums agree
+                gxn = int((wx * win).sum())
+                gyn = int((wx.T * win).sum())
+                s2 = gxn * gxn + gyn * gyn
+                n_px += 1
+                s += s2
+                mx = s2 if mx is None else max(mx, s2)
+        expected[cell] = (n_px, s, mx)
+
+    got = {
+        r["cell"]: (r["n_px"], r["sum_slope2"], r["max_slope2"])
+        for r in slope_stats_tiles(tiles_df).collect()
+    }
+    assert got == expected
+
+
+def test_slope_flat_surface_is_zero(spark):
+    """A constant mosaic has zero gradient everywhere supported."""
+    from geografir_spark.raster.focal import slope_stats_tiles
+
+    rows = [
+        (xi * 10 + yi, xi, yi, [5.0] * 64)
+        for xi in range(2)
+        for yi in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "cell LONG, xi LONG, yi LONG, pixels ARRAY<DOUBLE>"
+    )
+    out = slope_stats_tiles(df).collect()
+    assert all(r["sum_slope2"] == 0 and r["max_slope2"] == 0 for r in out)
+    assert sum(r["n_px"] for r in out) == (16 - 2) * (16 - 2)
