@@ -820,6 +820,57 @@ def q_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slope_stats_tiles(tiles, nodata=-1.0, tile_px=8)
 
 
+@register(
+    "tile_pyramid",
+    f"""
+    WITH grid AS (SELECT t1.xi, t2.yi
+                  FROM (SELECT unnest(range(5, 11)) AS xi) t1,
+                       (SELECT unnest(range(5, 11)) AS yi) t2),
+         cellt AS ({cells.nested_sql("SELECT xi, yi FROM grid", _ZONAL_CELL_STEPS)}),
+         px AS (SELECT cell, xi, yi, unnest(range(0, 64)) AS i FROM cellt),
+         pv AS (SELECT xi * 8 + (i % 8) AS gx,
+                       yi * 8 + (7 - i // 8) AS gy,
+                       {_ZONAL_PIXEL_VALUE} AS val
+                FROM px),
+         hp AS (SELECT gx // 2 AS hx, gy // 2 AS hy, max(val) AS pval
+                FROM pv GROUP BY gx // 2, gy // 2),
+         par AS (SELECT hx // 8 AS pxi, hy // 8 AS pyi,
+                        (7 - hy % 8) * 8 + (hx % 8) AS pos, pval
+                 FROM hp),
+         pc AS ({cells.nested_sql(
+            "SELECT pxi, pyi, pos, pval FROM par",
+            cells.encode_idx_steps("pxi", "pyi", ZONAL_RES - 1),
+         )})
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(CASE WHEN pval != -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(sum(CASE WHEN pval != -1.0 THEN CAST(pval AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_valid,
+           max(CASE WHEN pval != -1.0 THEN CAST(pval AS BIGINT) END)
+             AS max_val,
+           CAST(sum((pos + 1) * CAST(pval AS BIGINT)) AS BIGINT) AS checksum
+    FROM pc GROUP BY cell
+    """,
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-overview pyramid level: 2×2 max-pool the res-4 tile mosaic into
+    res-3 parent tiles (raster/pyramid.py) — built-in array SQL only, 4:1
+    fan-in shuffle, position-weighted checksum pinning the exact quadrant
+    assembly. The oracle pools the rebuilt global lattice directly."""
+    from geografir_spark.raster.pyramid import pyramid_stats
+
+    grid = (
+        spark.range(5, 11).selectExpr("id AS xi")
+        .crossJoin(spark.range(5, 11).selectExpr("id AS yi"))
+    )
+    t = cells.apply_steps(grid, _ZONAL_CELL_STEPS)
+    tiles = t.selectExpr(
+        "cell", "xi", "yi",
+        f"transform(sequence(0, 63), i -> {_ZONAL_PIXEL_VALUE}) AS pixels",
+    )
+    return pyramid_stats(tiles, res_child=ZONAL_RES)
+
+
 # ---------------------------------------------------------------------------
 # Reprojection as a query (st_transform lifted; EPSG:3857 is closed-form SQL
 # on both engines, so the vendored transform is oracle-checkable end-to-end)
