@@ -205,3 +205,38 @@ def pii_count_expr(scrubbed: str, tag: str, dialect: str) -> str:
     if dialect == "spark":
         return f"size(split({scrubbed}, '{tag}')) - 1"
     return f"len(string_split({scrubbed}, '{tag}')) - 1"
+
+
+def editdist_pairs_sql(
+    rel: str,
+    id_col: str,
+    str_expr: str,
+    block_exprs: tuple,
+    tau: int,
+    dialect: str,
+) -> str:
+    """Blocked edit-distance similarity self-join — fuzzy record linkage
+    (typo'd titles/urls/names): candidate pairs share every blocking key
+    and are kept when ``levenshtein(str_a, str_b) <= tau``. Levenshtein is
+    built-in and integer-exact in BOTH engines, so the whole join is
+    oracle-checkable with no float hazard.
+
+    Scale shape: the self-join is equi on the block keys (hash join, no
+    cross product); comparisons are O(Σ block²), so blocks must be
+    selective — length buckets + a cheap categorical here; production
+    corpora add prefix q-gram blocking (Ed-Join) for the same contract.
+    Equal-bucket blocking deliberately misses cross-bucket pairs whose
+    lengths straddle a boundary — the standard candidate-generation
+    tradeoff; use overlapping buckets when recall must be total.
+
+    Output: ``id_a, id_b (id_a < id_b), dist (BIGINT)``.
+    """
+    blk = " AND ".join(f"a.b{i} = b.b{i}" for i in range(len(block_exprs)))
+    bcols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(block_exprs))
+    return f"""
+    WITH d AS (SELECT {id_col} AS id, {str_expr} AS s, {bcols} FROM {rel})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM d a JOIN d b ON {blk} AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= {tau}
+    """

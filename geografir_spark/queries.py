@@ -2274,6 +2274,29 @@ def q_rare_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _editdist_sql(dialect: str) -> str:
+    from geografir_spark.operators.text import editdist_pairs_sql
+
+    idiv = "DIV" if dialect == "spark" else "//"
+    return editdist_pairs_sql(
+        "documents",
+        "doc_id",
+        "substr(text, 1, 32)",
+        ("lang", f"n_chars {idiv} 64"),
+        10,
+        dialect,
+    )
+
+
+@register("editdist_prefix_pairs", _editdist_sql("duckdb"))
+def q_editdist_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup candidate pairs by edit distance on 32-char text
+    prefixes, blocked by (lang, length bucket) — the record-linkage /
+    typo'd-title join (operators/text.py editdist_pairs_sql); levenshtein
+    is built-in and integer-exact in both engines."""
+    return _sql_query(spark, sf_dir, _editdist_sql("spark"))
+
+
 _BM25_TERMS = ("spark", "merge", "window", "hash")
 
 

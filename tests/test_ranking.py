@@ -65,3 +65,25 @@ def test_bm25_spark_duckdb_bit_identical(spark):
 def test_bm25_empty_terms_rejected():
     with pytest.raises(ValueError):
         bm25_sql("docs", "doc_id", "text", (), "spark")
+
+
+def test_editdist_pairs_semantics(spark):
+    """Blocked fuzzy join: same-block near strings pair, cross-block and
+    beyond-tau pairs don't; dist is the exact Levenshtein value."""
+    from geografir_spark.operators.text import editdist_pairs_sql
+
+    rows = [
+        (1, "kitten", "x"),
+        (2, "sitting", "x"),   # dist 3 from kitten, same block
+        (3, "kitten", "x"),    # exact dup of 1
+        (4, "kittenzzzzz", "x"),  # dist 5 from kitten -> beyond tau
+        (5, "kitten", "y"),    # near 1 but different block
+    ]
+    spark.createDataFrame(rows, ["id", "s", "blk"]).createOrReplaceTempView("t")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in spark.sql(
+            editdist_pairs_sql("t", "id", "s", ("blk",), 3, "spark")
+        ).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 0, (2, 3): 3}
