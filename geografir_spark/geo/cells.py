@@ -150,6 +150,63 @@ def compact_steps(cell_expr: str, out_x: str = "__cx", out_y: str = "__cy") -> l
     return steps
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_steps(
+    lon_expr: str, lat_expr: str, precision: int, out: str = "geohash"
+) -> list[dict[str, str]]:
+    """Step list computing the standard base-32 geohash string of a point —
+    the interchange tiling key (Redis/Elasticsearch/PostGIS all speak it),
+    alongside the engine's native Morton cell ids.
+
+    Same shared-dialect discipline as ``encode_steps``: pure bit math +
+    substr/concat, valid in Spark SQL and DuckDB, zero Python. Geohash
+    interleaves LON-first from the MSB (the transposed convention vs our
+    Z-order cells); geohashes are prefix-stable, so odd precisions are
+    computed at the next even precision and truncated — bit-identical to
+    the direct construction.
+
+    Bound: precision ≤ 12 (even-padded 60 bits + interleave fits int64).
+    """
+    if not (1 <= precision <= 12):
+        raise ValueError(f"geohash precision must be in [1, 12], got {precision}")
+    peven = precision + (precision % 2)
+    half = 5 * peven // 2  # bits per axis
+    n = 1 << half
+    steps: list[dict[str, str]] = [
+        {
+            "__gxi": (
+                f"least(greatest(CAST(floor((({lon_expr}) - ({LON_MIN})) /"
+                f" {LON_SPAN} * {n}.0) AS BIGINT), 0), {n - 1})"
+            ),
+            "__gyi": (
+                f"least(greatest(CAST(floor((({lat_expr}) - ({LAT_MIN})) /"
+                f" {LAT_SPAN} * {n}.0) AS BIGINT), 0), {n - 1})"
+            ),
+        }
+    ]
+    px, py = "__gxi", "__gyi"
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS):
+        steps.append(
+            {
+                f"__gxs{i}": f"(({px} | ({px} << {sh})) & {mask})",
+                f"__gys{i}": f"(({py} | ({py} << {sh})) & {mask})",
+            }
+        )
+        px, py = f"__gxs{i}", f"__gys{i}"
+    # lon bits land on the ODD (higher) interleave positions = MSB-first
+    steps.append({"__gh": f"(({px} << 1) | {py})"})
+    bits = 5 * peven
+    chars = ", ".join(
+        f"substr('{GEOHASH_ALPHABET}',"
+        f" CAST(((__gh >> {bits - 5 * (k + 1)}) & 31) + 1 AS INT), 1)"
+        for k in range(precision)
+    )
+    steps.append({out: f"concat({chars})"})
+    return steps
+
+
 def parent_sql(cell_expr: str, target_res: int) -> str:
     """Single SQL expression: ancestor of ``cell`` at ``target_res``.
 

@@ -112,6 +112,28 @@ def q_pages_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOHASH_P = 4
+
+
+def _geohash_topk_sql(dialect: str) -> str:
+    base = _geocoded_base_sql(dialect)
+    gh = cells.nested_sql(base, cells.geohash_steps("lon", "lat", _GEOHASH_P))
+    return (
+        f"SELECT geohash, count(*) AS n_pages FROM ({gh}) GROUP BY geohash"
+        " ORDER BY n_pages DESC, geohash LIMIT 20"
+    )
+
+
+@register("geohash_topk", _geohash_topk_sql("duckdb"))
+def q_geohash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 geohash-4 buckets of the geocoded pages — the interchange
+    tiling key (geo/cells.py geohash_steps: shared-dialect bit math +
+    base-32 char assembly, validated against the canonical u4pruy/ezs42
+    values); same map-side partial-agg + TakeOrdered shape as the Morton
+    flagship."""
+    return _sql_query(spark, sf_dir, _geohash_topk_sql("spark"))
+
+
 @register(
     "cell_rollup",
     f"""

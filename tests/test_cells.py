@@ -170,3 +170,63 @@ def test_compact_uncompact_roundtrip():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         uncompact_np(children, 6)
+
+
+def test_geohash_canonical_values():
+    """Canonical geohashes (the Wikipedia reference point and the classic
+    ezs42 example) + edge corners + prefix stability, via DuckDB so the
+    shared fragment is exercised in the oracle dialect too."""
+    import duckdb
+
+    from geografir_spark.geo import cells
+
+    cases = [
+        (10.40744, 57.64911, 6, "u4pruy"),
+        (10.40744, 57.64911, 11, "u4pruydqqvj"),
+        (-5.603, 42.605, 5, "ezs42"),
+        (-180.0, -90.0, 6, "000000"),
+        (179.9999, 89.9999, 6, "zzzzzz"),
+    ]
+    con = duckdb.connect()
+    for lon, lat, p, want in cases:
+        sql = cells.nested_sql(
+            f"SELECT {lon} AS lon, {lat} AS lat",
+            cells.geohash_steps("lon", "lat", p),
+        )
+        assert con.execute(f"SELECT geohash FROM ({sql})").fetchone()[0] == want
+    # prefix stability: p-char hash is the prefix of the (p+1)-char hash
+    for p in (1, 2, 3, 4, 5):
+        sqls = [
+            cells.nested_sql(
+                "SELECT 10.40744 AS lon, 57.64911 AS lat",
+                cells.geohash_steps("lon", "lat", q),
+            )
+            for q in (p, p + 1)
+        ]
+        a, b = (con.execute(f"SELECT geohash FROM ({s})").fetchone()[0] for s in sqls)
+        assert b.startswith(a)
+    con.close()
+
+
+def test_geohash_spark_matches_duckdb(spark):
+    import duckdb
+
+    from geografir_spark.geo import cells
+
+    sql = cells.nested_sql(
+        "SELECT -5.603 AS lon, 42.605 AS lat",
+        cells.geohash_steps("lon", "lat", 7),
+    )
+    got = spark.sql(f"SELECT geohash FROM ({sql})").collect()[0][0]
+    exp = duckdb.connect().execute(f"SELECT geohash FROM ({sql})").fetchone()[0]
+    assert got == exp
+
+
+def test_geohash_precision_bounds():
+    import pytest as _pytest
+
+    from geografir_spark.geo import cells
+
+    for bad in (0, 13):
+        with _pytest.raises(ValueError):
+            cells.geohash_steps("lon", "lat", bad)
