@@ -3019,6 +3019,43 @@ def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_diff_sql(dialect: str) -> str:
+    from geografir_spark.plans.diff import table_diff_sql
+
+    old = (
+        "(SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,"
+        " CAST(CAST(o_orderdate AS DATE) AS STRING) AS od FROM orders)"
+    )
+    # simulated next snapshot: one key-bucket of rows deleted, one bucket's
+    # priority rewritten, one bucket cloned under brand-new partition keys
+    new = (
+        "(SELECT o_custkey, o_orderkey, o_orderstatus,"
+        " CASE WHEN o_orderkey % 101 = 0 THEN 'X-MODIFIED'"
+        " ELSE o_orderpriority END AS o_orderpriority,"
+        " CAST(CAST(o_orderdate AS DATE) AS STRING) AS od"
+        " FROM orders WHERE o_orderkey % 97 <> 0"
+        " UNION ALL"
+        " SELECT o_custkey + 100000, o_orderkey + 1000000, o_orderstatus,"
+        " o_orderpriority, CAST(CAST(o_orderdate AS DATE) AS STRING) AS od"
+        " FROM orders WHERE o_orderkey % 103 = 0)"
+    )
+    return table_diff_sql(
+        old, new, "o_custkey",
+        ("o_orderkey", "o_orderstatus", "o_orderpriority", "od"),
+        dialect,
+    )
+
+
+@register("snapshot_table_diff", _table_diff_sql("duckdb"))
+def q_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed partition keys between two order-table snapshots (deletes,
+    in-place priority rewrites, brand-new keys), classified — the
+    count+md5-xor anti-entropy reconciliation pass (plans/diff.py): two
+    partial-aggregated scans + one FULL OUTER equi-join, output bounded
+    by changed keys."""
+    return _sql_query(spark, sf_dir, _table_diff_sql("spark"), views=("orders",))
+
+
 def _scd2_sql(dialect: str) -> str:
     from geografir_spark.operators.scd import scd2_sql
 
