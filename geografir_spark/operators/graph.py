@@ -143,3 +143,39 @@ def pagerank(
             )
         ).localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def triangle_count_sql(edges_rel: str, src: str, dst: str, dialect: str) -> str:  # noqa: ARG001
+    """Exact triangle census of the undirected graph induced by
+    ``edges_rel`` — the clustering-structure statistic (community
+    cohesion, spam-farm detection on link graphs). Identical in both
+    dialects; counts each triangle exactly once via the canonical
+    a < b < c edge orientation.
+
+    Scale shape: edges are canonicalized and deduped (one groupBy), then
+    the classic two-join triangle enumeration — e1(a,b) ⋈ e2(b,c) ⋈
+    closing e3(a,c). Both joins are hash equi-joins; the intermediate
+    wedge count Σ deg(v)² is the cost driver, so production graphs order
+    by degree first (count wedges from the lower-degree endpoint) — this
+    operator keeps the plain form and documents the degree-ordered
+    refinement as the skew remedy, matching operators/skew.py's
+    philosophy of explicit hot-key handling.
+
+    Output: one row (n_nodes, n_edges, n_triangles) — BIGINTs.
+    """
+    return f"""
+    WITH raw AS (SELECT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+                 FROM {edges_rel} WHERE {src} <> {dst}),
+         e AS (SELECT a, b FROM raw GROUP BY a, b),
+         nodes AS (SELECT count(DISTINCT v) AS n_nodes
+                   FROM (SELECT a AS v FROM e UNION SELECT b AS v FROM e)),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1
+                   JOIN e e2 ON e2.a = e1.b
+                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         m AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, m, tri
+    """

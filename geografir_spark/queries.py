@@ -3834,6 +3834,32 @@ def q_od_cell_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _od_flows_sql("spark"))
 
 
+def _triangles_sql(dialect: str) -> str:
+    from geografir_spark.operators.graph import triangle_count_sql
+
+    # co-purchase graph: parts sharing an order (the OD cell-flow graph is
+    # measured star-shaped at sf0.01 — 136 wedges, zero closures — so it
+    # can't exercise the closing join; co-occurrence graphs are
+    # triangle-dense by construction)
+    edges = (
+        "(SELECT a.p AS pa, b.p AS pb"
+        " FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a"
+        " JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b"
+        " ON a.o = b.o AND a.p < b.p)"
+    )
+    return triangle_count_sql(edges, "pa", "pb", dialect)
+
+
+@register("copurchase_triangles", _triangles_sql("duckdb"))
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (parts sharing
+    an order) — the clustering-structure statistic, counted once per
+    canonical a<b<c orientation (operators/graph.py triangle_count_sql)."""
+    return _sql_query(
+        spark, sf_dir, _triangles_sql("spark"), views=("lineitem",)
+    )
+
+
 def _hll_distinct_sql(dialect: str) -> str:
     from geografir_spark.operators import sketch
 

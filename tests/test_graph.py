@@ -70,3 +70,20 @@ def test_pagerank_mass_is_bounded_and_sink_absorbs(spark):
     total = sum(v["rank_scaled"] for v in out.values())
     assert 0 < total <= 3 * SCALE
     assert out["c"]["rank_scaled"] > out["b"]["rank_scaled"] > out["a"]["rank_scaled"]
+
+
+def test_triangle_count_known_graphs(spark):
+    """Triangle census on hand-built graphs: K4 has 4, a 4-cycle has 0,
+    duplicate/reversed/self-loop edges are canonicalized first."""
+    from geografir_spark.operators.graph import triangle_count_sql
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]  # both dirs
+    k4 += [(1, 1), (2, 1)]  # self-loop + dup
+    spark.createDataFrame(k4, ["s", "d"]).createOrReplaceTempView("k4")
+    r = spark.sql(triangle_count_sql("k4", "s", "d", "spark")).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    spark.createDataFrame(cyc, ["s", "d"]).createOrReplaceTempView("cyc")
+    r = spark.sql(triangle_count_sql("cyc", "s", "d", "spark")).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 0)
