@@ -145,7 +145,9 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 
-def triangle_count_sql(edges_rel: str, src: str, dst: str, dialect: str) -> str:  # noqa: ARG001
+def triangle_count_sql(
+    edges_rel: str, src: str, dst: str, dialect: str, min_weight: int = 1
+) -> str:  # noqa: ARG001
     """Exact triangle census of the undirected graph induced by
     ``edges_rel`` — the clustering-structure statistic (community
     cohesion, spam-farm detection on link graphs). Identical in both
@@ -161,12 +163,19 @@ def triangle_count_sql(edges_rel: str, src: str, dst: str, dialect: str) -> str:
     refinement as the skew remedy, matching operators/skew.py's
     philosophy of explicit hot-key handling.
 
+    ``min_weight`` keeps only edges whose RAW multiplicity (before
+    dedup; a bidirectional pair counts twice) reaches the threshold — the
+    support filter that keeps co-occurrence graphs sparse: the raw
+    co-purchase graph at sf0.1 is near-complete (1.2M edges on 2k nodes,
+    ~10^9 wedges); support >= 2 cuts it to 3.6k edges.
+
     Output: one row (n_nodes, n_edges, n_triangles) — BIGINTs.
     """
     return f"""
     WITH raw AS (SELECT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
                  FROM {edges_rel} WHERE {src} <> {dst}),
-         e AS (SELECT a, b FROM raw GROUP BY a, b),
+         e AS (SELECT a, b FROM raw GROUP BY a, b
+               HAVING count(*) >= {min_weight}),
          nodes AS (SELECT count(DISTINCT v) AS n_nodes
                    FROM (SELECT a AS v FROM e UNION SELECT b AS v FROM e)),
          tri AS (SELECT count(*) AS n_triangles
@@ -179,3 +188,45 @@ def triangle_count_sql(edges_rel: str, src: str, dst: str, dialect: str) -> str:
            CAST(n_triangles AS BIGINT) AS n_triangles
     FROM nodes, m, tri
     """
+
+
+def triangle_count(edges_df, src: str, dst: str, min_weight: int = 1):
+    """DataFrame form of ``triangle_count_sql`` for the engine side:
+    canonicalize + dedup the edge set ONCE, localCheckpoint it (bounded:
+    the deduped edge list, the same barrier discipline as ``pagerank``),
+    and run the wedge enumeration over the materialized edges. The pure
+    SQL form re-derives the edge relation under every one of its ~6 CTE
+    consumer paths when Spark inlines CTEs (measured 10.4 s → ~2 s at
+    sf0.1 for the co-purchase graph); DuckDB materializes CTEs, so the
+    oracle keeps the single-statement form."""
+    from pyspark.sql import functions as F
+
+    e = (
+        edges_df.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__w"))
+        .where(F.col("__w") >= min_weight)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    spark = e.sparkSession
+    e.createOrReplaceTempView("__tri_edges")
+    return spark.sql(
+        """
+        WITH nodes AS (SELECT count(DISTINCT v) AS n_nodes
+                       FROM (SELECT a AS v FROM __tri_edges
+                             UNION SELECT b AS v FROM __tri_edges)),
+             tri AS (SELECT count(*) AS n_triangles
+                     FROM __tri_edges e1
+                       JOIN __tri_edges e2 ON e2.a = e1.b
+                       JOIN __tri_edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+             m AS (SELECT count(*) AS n_edges FROM __tri_edges)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles
+        FROM nodes, m, tri
+        """
+    )

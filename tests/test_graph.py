@@ -87,3 +87,16 @@ def test_triangle_count_known_graphs(spark):
     spark.createDataFrame(cyc, ["s", "d"]).createOrReplaceTempView("cyc")
     r = spark.sql(triangle_count_sql("cyc", "s", "d", "spark")).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 0)
+
+
+def test_triangle_min_weight_support_filter(spark):
+    """min_weight keeps only edges reaching the raw multiplicity
+    threshold — the triangle vanishes when one of its edges is singular."""
+    from geografir_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (1, 2), (2, 3), (2, 3), (1, 3)]  # (1,3) has weight 1
+    df = spark.createDataFrame(edges, ["s", "d"])
+    r1 = triangle_count(df, "s", "d", min_weight=1).collect()[0]
+    assert (r1["n_edges"], r1["n_triangles"]) == (3, 1)
+    r2 = triangle_count(df, "s", "d", min_weight=2).collect()[0]
+    assert (r2["n_edges"], r2["n_triangles"]) == (2, 0)
