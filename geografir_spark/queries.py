@@ -4055,6 +4055,44 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _packing_sql("spark"), repartition=True)
 
 
+def _rolling_7d_sql(dialect: str) -> str:
+    """7-day rolling event volume per type via a RANGE window frame over
+    the integer day number — the time-series smoothing primitive
+    (alerting baselines, weekly seasonality removal). RANGE (not ROWS)
+    is the correctness point: days with no events are absent from the
+    daily rollup, and a ROWS frame would silently span gaps; the RANGE
+    frame over the integer day key respects calendar distance with no
+    gap-filling join. One daily pre-aggregation (partial map-side) makes
+    the window input |types|×|days| rows, so the per-type window sort is
+    trivially small at any corpus size; all sums are BIGINT."""
+    day = (
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        if dialect == "duckdb"
+        else "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+    )
+    return f"""
+    WITH d AS (SELECT event_type, CAST({day} AS BIGINT) AS daynum,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, {day})
+    SELECT event_type, daynum, n,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY daynum
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7d,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY daynum
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS days_present_7d
+    FROM d
+    """
+
+
+@register("rolling_7d_events", _rolling_7d_sql("duckdb"))
+def q_rolling_7d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 7-day rolling event volume via a RANGE frame on the
+    integer day number (calendar-correct across gap days, unlike a ROWS
+    frame — see _rolling_7d_sql)."""
+    return _sql_query(spark, sf_dir, _rolling_7d_sql("spark"), views=("events",))
+
+
 def _retention_sql(dialect: str) -> str:
     """Cohort retention matrix: users grouped by first-seen day, activity
     counted per day offset — the standard growth-analytics rollup. Two

@@ -142,3 +142,27 @@ def test_rare_ngram_short_docs_match_oracle(spark, tmp_path):
     assert list(got["source"]) == list(exp["source"])
     for c in ("n_docs", "total_rare", "max_rare", "n_flagged"):
         assert [int(v) for v in got[c]] == [int(v) for v in exp[c]], c
+
+
+def test_rolling_range_frame_respects_calendar_gaps(spark):
+    """RANGE (not ROWS): a day more than 6 days after its predecessor
+    must NOT include it in the rolling sum even though it is the
+    adjacent row."""
+    import datetime as dt
+
+    from geografir_spark.queries import _rolling_7d_sql
+
+    rows = []
+    for day, n in [(1, 5), (3, 2), (20, 7), (24, 1)]:
+        for i in range(n):
+            rows.append((len(rows), dt.datetime(2024, 1, day, 12, 0), 1, "e", 0.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).createOrReplaceTempView("events")
+    out = {r["daynum"]: (r["n_7d"], r["days_present_7d"])
+           for r in spark.sql(_rolling_7d_sql("spark")).collect()}
+    base = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert out[base] == (5, 1)            # day 1 alone
+    assert out[base + 2] == (7, 2)        # day 3 sees day 1 (2 days back)
+    assert out[base + 19] == (7, 1)       # day 20: 17-day gap -> alone
+    assert out[base + 23] == (8, 2)       # day 24 sees day 20 (4 back)
