@@ -2318,6 +2318,76 @@ def q_rare_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idw_sql(dialect: str) -> str:  # noqa: ARG001 — shared text
+    """Inverse-distance-weighted interpolation surface: estimate customer
+    spend at every res-3 cell center from all customer point values —
+    the classic spatial interpolation operator (IDW, Shepard's method).
+
+    Fixed-point discipline (the repo's cross-engine exactness contract):
+    per-(target, source) weight w = 1e6/d² floored to an integer and
+    CAPPED at 1e8 (the quantization ceiling bounds both the influence of
+    a source sitting arbitrarily close to a grid center and the BIGINT
+    headroom: Σ v·w ≤ 5e5 dollars × 1e8 × 1.5e5 customers ≈ 7.5e18 <
+    2^63 at sf1); per-order cents are floored PER ROW (one fixed double
+    chain) then BIGINT-summed — a raw double SUM of prices would be
+    aggregation-order dependent; numerator and denominator are then BIGINT sums —
+    aggregation-order independent — and the final estimate is ONE
+    correctly-rounded double division. Distance is planar on the lattice
+    (the haversine path lives in operators/radius_join.py).
+
+    Scale shape: the registry instance is global IDW — a 64-target ×
+    |customers| broadcast nested loop (targets broadcast; correct for a
+    small grid). A fine grid composes with the cell-disk candidate
+    generator (geo/cells.disk + operators/knn.py) so each target only
+    sees nearby sources — same weighted-sum SQL, bounded fan-in."""
+    idiv = "//" if dialect == "duckdb" else "DIV"
+    return f"""
+    WITH ocents AS (SELECT o_custkey,
+                           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                             AS cents
+                    FROM orders),
+         spend AS (SELECT c.c_custkey, {_CUST_LON} AS lon, {_CUST_LAT} AS lat,
+                          CAST(coalesce(sum(o.cents), 0) {idiv} 100 AS BIGINT)
+                            AS v
+                   FROM customer c LEFT JOIN ocents o
+                     ON o.o_custkey = c.c_custkey
+                   GROUP BY c.c_custkey),
+         tgt AS (SELECT xi, yi,
+                        -180.0 + (CAST(xi AS DOUBLE) + 0.5) * 45.0 AS tx,
+                        -90.0 + (CAST(yi AS DOUBLE) + 0.5) * 22.5 AS ty
+                 FROM (SELECT t1.xi, t2.yi
+                       FROM (SELECT {{xs}} AS xi) t1, (SELECT {{ys}} AS yi) t2)),
+         pairs AS (SELECT t.xi, t.yi, s.v,
+                          least(CAST(floor(1000000.0 /
+                              greatest((s.lon - t.tx) * (s.lon - t.tx)
+                                       + (s.lat - t.ty) * (s.lat - t.ty),
+                                       0.000001)) AS BIGINT),
+                                100000000) AS wq
+                   FROM spend s, tgt t)
+    SELECT xi, yi, CAST(count(*) AS BIGINT) AS n_src,
+           CAST(sum(v * wq) AS BIGINT) AS num,
+           CAST(sum(wq) AS BIGINT) AS den,
+           CAST(sum(v * wq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS idw
+    FROM pairs GROUP BY xi, yi
+    """.replace(
+        "{xs}",
+        ("unnest(range(0, 8))" if dialect == "duckdb" else "explode(sequence(0, 7))"),
+    ).replace(
+        "{ys}",
+        ("unnest(range(0, 8))" if dialect == "duckdb" else "explode(sequence(0, 7))"),
+    )
+
+
+@register("idw_spend_surface", _idw_sql("duckdb"))
+def q_idw_spend_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation of customer spend onto the res-3 cell-center
+    grid — fixed-point quantized weights, BIGINT num/den, one final
+    double division (see _idw_sql)."""
+    return _sql_query(
+        spark, sf_dir, _idw_sql("spark"), views=("customer", "orders")
+    )
+
+
 def _editdist_sql(dialect: str) -> str:
     from geografir_spark.operators.text import editdist_pairs_sql
 
