@@ -2318,6 +2318,38 @@ def q_rare_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HULL_SRC = (
+    f"(SELECT CAST(round(({_CUST_LON}) * 1000.0) AS BIGINT) AS xm,"
+    f" CAST(round(({_CUST_LAT}) * 1000.0) AS BIGINT) AS ym"
+    " FROM customer WHERE c_nationkey < 3)"
+)
+
+
+def _hull_oracle_sql() -> str:
+    from geografir_spark.operators.hull import hull_edges_sql
+
+    return hull_edges_sql(_HULL_SRC, "xm", "ym", "duckdb")
+
+
+@register("customer_hull", _hull_oracle_sql())
+def q_customer_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull vertex set of three nations' customer points in exact
+    integer milli-degrees — the distributed reduction (operators/hull.py:
+    per-partition monotone chain, bounded hull-candidate collect, final
+    chain on the driver; the point data never moves). The oracle is the
+    quadratic all-left edge test — restricted to ~180 points because it
+    is O(n²·n), an oracle, not the scale path (1500 points already cost
+    19 s in DuckDB)."""
+    from geografir_spark.operators.hull import convex_hull
+
+    cust = load_table(spark, sf_dir, "customer")
+    cust = cust.where("c_nationkey < 3").selectExpr(
+        f"CAST(round(({_CUST_LON}) * 1000.0) AS BIGINT) AS xm",
+        f"CAST(round(({_CUST_LAT}) * 1000.0) AS BIGINT) AS ym",
+    ).repartition(8)  # exercise the multi-partition reduction
+    return convex_hull(cust, "xm", "ym")
+
+
 def _idw_sql(dialect: str) -> str:  # noqa: ARG001 — shared text
     """Inverse-distance-weighted interpolation surface: estimate customer
     spend at every res-3 cell center from all customer point values —
