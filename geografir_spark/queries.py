@@ -1576,6 +1576,76 @@ def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _buffer_oracle_sql() -> str:
+    """Closed-form oracle for zone_buffer_cells: a rect zone's res-R
+    cover is an axis-index rectangle, and its k=1 Chebyshev dilation is
+    the rectangle expanded one index per side, clipped to the lattice —
+    pure integer arithmetic, INDEPENDENT of the engine's Morton
+    round-trip (so the oracle actually checks the decode→ring→encode
+    machinery instead of replaying it)."""
+    res = BBOX_RES
+    n = 1 << res
+    return f"""
+    WITH zb AS (SELECT n_nationkey AS zone_id,
+                       {cells.axis_index_sql(ZONE_MINX, res, lat=False)} AS xlo,
+                       {cells.axis_index_sql(ZONE_MAXX, res, lat=False)} AS xhi,
+                       {cells.axis_index_sql(ZONE_MINY, res, lat=True)} AS ylo,
+                       {cells.axis_index_sql(ZONE_MAXY, res, lat=True)} AS yhi
+                FROM nation)
+    SELECT zone_id,
+           CAST((xhi - xlo + 1) * (yhi - ylo + 1) AS BIGINT) AS n_cover,
+           CAST((least(xhi + 1, {n - 1}) - greatest(xlo - 1, 0) + 1)
+              * (least(yhi + 1, {n - 1}) - greatest(ylo - 1, 0) + 1)
+              AS BIGINT) AS n_buffered
+    FROM zb
+    """
+
+
+@register("zone_buffer_cells", _buffer_oracle_sql())
+def q_zone_buffer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological buffer (k=1 Chebyshev dilation) of each zone's cell
+    cover — the lattice form of ST_Buffer, the same resolution-knob
+    discipline as region_dissolve. The ENGINE runs the full round trip:
+    cover → Morton encode → decode (compact_steps) → 3×3 ring explode →
+    clamp → re-encode → DISTINCT per zone; the ORACLE is independent
+    closed-form clipped-rectangle arithmetic, so the query end-to-end
+    checks the lattice algebra rather than replaying it. Scale shape:
+    covers and dilations generate map-side (explode fan-out 9), the only
+    shuffle is the per-zone DISTINCT."""
+    res = BBOX_RES
+    n = 1 << res
+    zones = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS zone_id",
+        f"{cells.axis_index_sql(ZONE_MINX, res, lat=False)} AS xlo",
+        f"{cells.axis_index_sql(ZONE_MAXX, res, lat=False)} AS xhi",
+        f"{cells.axis_index_sql(ZONE_MINY, res, lat=True)} AS ylo",
+        f"{cells.axis_index_sql(ZONE_MAXY, res, lat=True)} AS yhi",
+    )
+    cover = zones.selectExpr(
+        "zone_id", "ylo", "yhi", "explode(sequence(xlo, xhi)) AS ix"
+    ).selectExpr("zone_id", "ix", "explode(sequence(ylo, yhi)) AS iy")
+    covered = cells.apply_steps(cover, cells.encode_idx_steps("ix", "iy", res))
+    # decode → dilate → clamp → re-encode: the real lattice round trip
+    dec = cells.apply_steps(
+        covered.select("zone_id", "cell"), cells.compact_steps("cell", "cx", "cy")
+    ).select("zone_id", "cx", "cy")
+    dil = dec.selectExpr(
+        "zone_id", "cy", "explode(sequence(-1, 1)) AS dx", "cx"
+    ).selectExpr(
+        "zone_id", "cx", "cy", "dx", "explode(sequence(-1, 1)) AS dy"
+    ).selectExpr(
+        "zone_id",
+        f"least(greatest(cx + dx, 0), {n - 1}) AS bx",
+        f"least(greatest(cy + dy, 0), {n - 1}) AS by",
+    )
+    buffered = cells.apply_steps(
+        dil, cells.encode_idx_steps("bx", "by", res, out="bcell")
+    ).select("zone_id", "bcell").distinct()
+    nc = covered.groupBy("zone_id").agg(F.countDistinct("cell").alias("n_cover"))
+    nb = buffered.groupBy("zone_id").agg(F.count("*").alias("n_buffered"))
+    return nc.join(nb, "zone_id").select("zone_id", "n_cover", "n_buffered")
+
+
 def _collocation_sql(dialect: str, *, min_support: int = 5, k: int = 20) -> str:
     """PMI collocation mining (phrase extraction): the top-``k`` bigrams by
     pointwise-mutual-information lift ``p(ab) / (p(a)·p(b))`` with support
