@@ -220,3 +220,49 @@ def stream_interval_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner")
+
+
+def run_tile_pyramid_stream(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    res_child: int,
+) -> None:
+    """Incremental COG-overview maintenance: tile batches arrive as
+    parquet files and each micro-batch's parent-level overview rows are
+    appended — the streaming form of ``raster/pyramid.pyramid_stats``.
+
+    Ingestion contract (asserted by the stream==batch test): a parent's
+    four children arrive in the SAME file — spatial writers emit
+    parent-block-aligned batches for exactly this reason — so a per-batch
+    pyramid is exact and no cross-batch parent state is needed. Writers
+    that can't align batches compose the same operator behind a
+    parent-cell repartition in a foreachBatch compaction instead.
+
+    Exactly-once per file via the checkpoint file log (re-running after
+    new tiles arrive processes only the new files).
+    """
+    from geografir_spark.raster.pyramid import pyramid_stats
+
+    tiles = (
+        spark.readStream.schema(
+            "cell LONG, xi LONG, yi LONG, pixels ARRAY<DOUBLE>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        pyramid_stats(batch_df, res_child=res_child).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        tiles.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

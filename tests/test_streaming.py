@@ -320,3 +320,57 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert len(exp) > 0
     assert got == exp
+
+
+def test_stream_tile_pyramid_matches_batch_and_resumes(spark, tmp_path):
+    """Incremental overview maintenance: per-batch pyramid appends over
+    parent-block-aligned tile files equal the batch pyramid over all
+    tiles; a later file is processed exactly once on resume."""
+    from geografir_spark.raster.pyramid import pyramid_stats
+    from geografir_spark.streaming import run_tile_pyramid_stream
+
+    src, out, ckpt = f"{tmp_path}/tsrc", f"{tmp_path}/tout", f"{tmp_path}/tckpt"
+
+    def tile_rows(parents):
+        rows = []
+        for pxi, pyi in parents:
+            for xi in (2 * pxi, 2 * pxi + 1):
+                for yi in (2 * pyi, 2 * pyi + 1):
+                    px = [float((xi * 31 + yi * 17 + i) % 97) for i in range(64)]
+                    rows.append((xi * 100 + yi, xi, yi, px))
+        return rows
+
+    schema = "cell LONG, xi LONG, yi LONG, pixels ARRAY<DOUBLE>"
+    # two parent-aligned files
+    spark.createDataFrame(tile_rows([(0, 0), (1, 0)]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(tile_rows([(0, 1)]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    run_tile_pyramid_stream(
+        spark, src, out_dir=out, checkpoint_dir=ckpt, res_child=4
+    )
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in pyramid_stats(
+            spark.createDataFrame(
+                tile_rows([(0, 0), (1, 0), (0, 1)]), schema
+            ),
+            res_child=4,
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+
+    # resume: one new parent block arrives; only it is processed
+    spark.createDataFrame(tile_rows([(1, 1)]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_tile_pyramid_stream(
+        spark, src, out_dir=out, checkpoint_dir=ckpt, res_child=4
+    )
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 4                      # no duplicates from replay
+    assert got2.select("cell").distinct().count() == 4
