@@ -65,9 +65,19 @@ def monotone_chain(pts: np.ndarray) -> np.ndarray:
     return np.unique(np.array(ring, dtype=np.int64), axis=0)
 
 
-def convex_hull(df: DataFrame, x: str, y: str) -> DataFrame:
+def convex_hull(
+    df: DataFrame, x: str, y: str, *, max_candidates: int = 100_000
+) -> DataFrame:
     """Hull vertex set of the integer point columns (x, y) of ``df``.
-    Returns a DataFrame (xm, ym) — BIGINT milli-degrees by convention."""
+    Returns a DataFrame (xm, ym) — BIGINT milli-degrees by convention.
+
+    Boundedness caveat, stated honestly: the driver collect is
+    Σ min(h_p, n_p) over partitions — tiny for real spatial data (hulls
+    of uniform/clustered points grow ~log n), but an adversarial input
+    with every point ON its hull (a circle) makes the OUTPUT itself
+    O(n), which no algorithm avoids. The ``max_candidates`` guard turns
+    that case into an explicit error instead of a silent driver OOM;
+    raise it deliberately when a huge hull is genuinely wanted."""
     spark = df.sparkSession
 
     def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,7 +91,15 @@ def convex_hull(df: DataFrame, x: str, y: str) -> DataFrame:
 
     partial = df.select(x, y).mapInPandas(local, "xm bigint, ym bigint")
     # bounded collect: only partition-hull candidates reach the driver
-    cand = np.array([(r["xm"], r["ym"]) for r in partial.collect()], dtype=np.int64)
+    rows = partial.limit(max_candidates + 1).collect()  # one job, capped
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"convex_hull: over {max_candidates} partition-hull candidates"
+            " — the hull itself is huge (circle-like data); raise"
+            " max_candidates deliberately if the O(hull) driver merge is"
+            " acceptable"
+        )
+    cand = np.array([(r["xm"], r["ym"]) for r in rows], dtype=np.int64)
     final = monotone_chain(cand) if len(cand) else cand.reshape(0, 2)
     return spark.createDataFrame(
         [(int(a), int(b)) for a, b in final], "xm bigint, ym bigint"

@@ -59,3 +59,14 @@ def test_distributed_reduction_matches_single_machine(spark):
     df = spark.createDataFrame(pts, "xm bigint, ym bigint").repartition(13)
     got = sorted((r["xm"], r["ym"]) for r in convex_hull(df, "xm", "ym").collect())
     assert got == _chain(pts)
+
+
+def test_candidate_cap_guard(spark):
+    import pytest as _pytest
+
+    pts = [(i, i * i) for i in range(50)]  # strictly convex: all on hull
+    df = spark.createDataFrame(pts, "xm bigint, ym bigint")
+    with _pytest.raises(ValueError, match="max_candidates"):
+        convex_hull(df, "xm", "ym", max_candidates=10)
+    # and with an adequate cap the hull is all 50 points
+    assert convex_hull(df, "xm", "ym").count() == 50
