@@ -166,3 +166,38 @@ def test_rolling_range_frame_respects_calendar_gaps(spark):
     assert out[base + 2] == (7, 2)        # day 3 sees day 1 (2 days back)
     assert out[base + 19] == (7, 1)       # day 20: 17-day gap -> alone
     assert out[base + 23] == (8, 2)       # day 24 sees day 20 (4 back)
+
+
+def test_idw_nearer_source_dominates_and_cap(spark):
+    """IDW semantics on a hand-built pair of sources: the estimate at a
+    target near source A approaches A's value, and the weight cap bounds
+    a near-coincident source's influence deterministically."""
+    import duckdb
+
+    sql = """
+    WITH spend AS (SELECT * FROM (VALUES (0.5, 0.0, 100), (10.0, 0.0, 900))
+                   s(lon, lat, v)),
+         tgt AS (SELECT 0 AS xi, 0 AS yi, 0.0 AS tx, 0.0 AS ty),
+         pairs AS (SELECT t.xi, t.yi, s.v,
+                          least(CAST(floor(1000000.0 /
+                              greatest((s.lon - t.tx) * (s.lon - t.tx)
+                                       + (s.lat - t.ty) * (s.lat - t.ty),
+                                       0.000001)) AS BIGINT),
+                                100000000) AS wq
+                   FROM spend s, tgt t)
+    SELECT CAST(sum(v * wq) AS BIGINT) AS num, CAST(sum(wq) AS BIGINT) AS den,
+           CAST(sum(v * wq) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) AS idw
+    FROM pairs
+    """
+    got_s = spark.sql(sql).collect()[0]
+    got_d = duckdb.connect().execute(sql).fetchone()
+    assert (got_s["num"], got_s["den"]) == (got_d[0], got_d[1])
+    # source A (v=100) at distance 0.5 has weight 4e6 vs B's 1e4: estimate
+    # sits within 1% of A's value but strictly between the two
+    assert 100 < got_s["idw"] < 103
+    # cap: a source at the minimum clamped distance cannot exceed 1e8 weight
+    capped = spark.sql(
+        "SELECT least(CAST(floor(1000000.0 / greatest(0.0000000001, 0.000001))"
+        " AS BIGINT), 100000000) AS wq"
+    ).collect()[0]["wq"]
+    assert capped == 100000000
