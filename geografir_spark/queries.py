@@ -3494,6 +3494,47 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _QUANTILE_SQL)
 
 
+_MAD_SQL = """
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+               FROM events),
+         med AS (SELECT event_type,
+                        CAST(percentile_disc(0.5)
+                             WITHIN GROUP (ORDER BY vu) AS BIGINT) AS m
+                 FROM v GROUP BY event_type),
+         dev AS (SELECT v.event_type, v.vu, med.m,
+                        abs(v.vu - med.m) AS ad
+                 FROM v JOIN med ON med.event_type = v.event_type),
+         mad AS (SELECT event_type,
+                        CAST(percentile_disc(0.5)
+                             WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad
+                 FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(d.m) AS med_micro,
+           min(mad.mad) AS mad_micro,
+           CAST(sum(CASE WHEN d.ad > 5 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type
+"""
+
+
+@register("robust_value_outliers", _MAD_SQL)
+def q_robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    anomaly-flagging statistic that, unlike the mean±2σ z-test
+    (event_spike_days), is not itself dragged by the outliers it hunts.
+    Exactness: values floored per row to 1e-6 units (one fixed double
+    chain), both medians via percentile_disc WITHIN GROUP (discrete —
+    returns actual elements, no interpolation, bit-exact across engines),
+    the flag an integer comparison |v−med| > 5·MAD. Scale shape: two
+    grouped sorts (Spark: one shuffle+sort per grouped percentile) and
+    two broadcast-able per-type joins; identical SQL text on both
+    engines."""
+    return _sql_query(spark, sf_dir, _MAD_SQL, views=("events",))
+
+
 _JSON_ORACLE_SQL = """
     SELECT event_type,
            count(*) AS n_events,
