@@ -2536,6 +2536,78 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_HYBRID_N = 20
+
+
+def _hybrid_sql(dialect: str) -> str:
+    """Hybrid retrieval: fuse the lexical (BM25 over text) and semantic
+    (exact cosine over embeddings, probe = vec 0) candidate lists with
+    reciprocal-rank fusion — THE standard hybrid-search combiner
+    (RRF: score = Σ 1/(k + rank), k=60). Integer-exact: each list
+    contributes floor(1e6/(60+rank)) micro-units — rank is an integer,
+    the division one deterministic double op, floor exact — summed as
+    BIGINT over at most two terms. Docs in only one list still score
+    (FULL OUTER semantics via the union-groupBy form). vec_id aligns
+    with doc_id by fixture construction (500 rows each)."""
+    from geografir_spark.operators.ranking import bm25_sql
+
+    bm = bm25_sql("documents", "doc_id", "text", _BM25_TERMS, dialect, k=_HYBRID_N)
+    if dialect == "duckdb":
+        cos = "list_cosine_similarity(pvec, tvec)"
+    else:
+        cos = (
+            "aggregate(zip_with(pvec, tvec, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x)"
+            " / (sqrt(aggregate(transform(pvec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x))"
+            " * sqrt(aggregate(transform(tvec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x)))"
+        )
+    return f"""
+    WITH lex AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                          AS rnk
+                 FROM ({bm})),
+         pv AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+         sem0 AS (SELECT vec_id AS doc_id, {cos} AS c
+                  FROM (SELECT vec_id, embedding AS tvec FROM embeddings
+                        WHERE vec_id <> 0), pv),
+         sem AS (SELECT doc_id, rnk FROM (
+                   SELECT doc_id,
+                          row_number() OVER (ORDER BY c DESC, doc_id) AS rnk
+                   FROM sem0) WHERE rnk <= {_HYBRID_N}),
+         contrib AS (SELECT doc_id,
+                            CAST(floor(1000000.0 / ({_RRF_K} + rnk))
+                                 AS BIGINT) AS c_micro
+                     FROM lex
+                     UNION ALL
+                     SELECT doc_id,
+                            CAST(floor(1000000.0 / ({_RRF_K} + rnk))
+                                 AS BIGINT) AS c_micro
+                     FROM sem)
+    SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS rrf_micro,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """
+
+
+@register("hybrid_retrieval_rrf", _hybrid_sql("duckdb"))
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical list and the exact-
+    cosine semantic list — hybrid search, the composition the two
+    retrieval legs exist for (see _hybrid_sql)."""
+    return _sql_query(
+        spark,
+        sf_dir,
+        _hybrid_sql("spark"),
+        views=("documents", "embeddings"),
+        repartition=True,
+        no_generate_filter_inference=True,
+    )
+
+
 def _lang_id_sql(dialect: str) -> str:
     from geografir_spark.operators import text as textops
 
