@@ -1919,6 +1919,79 @@ def _morans_i_sql(dialect: str) -> str:
     return _morans_tail_sql(f"({_morans_rollup_sql(dialect)})")
 
 
+def _getis_tail_sql(cc_rel: str, dialect: str, k: int = 15) -> str:
+    """Getis-Ord Gi* hot-spot tail over a (pcell, c) rollup relation —
+    the LOCAL complement of Moran's I (which is one global number): a
+    standardized z-score per cell for its queen-neighborhood (3×3 incl.
+    self) count sum, over OBSERVED cells (empty cells carry no
+    observation on a sparse lattice; documented contract).
+
+    Exactness: with the same Z-substitution as Moran's I, the numerator
+    n·L_i − k_i·S and every variance term (n·Q − S², n·k_i − k_i²) are
+    exact BIGINTs; the score is ONE double chain whose only libm call is
+    sqrt — IEEE-754 requires sqrt to be correctly rounded (unlike ln),
+    so both engines emit bit-identical doubles. Adjacency is an explode
+    fan-out-9 equi-join on shifted indices (never an OR nested loop)."""
+    dec = cells.nested_sql(
+        "SELECT pcell, c FROM cc", cells.compact_steps("pcell", "xi", "yi")
+    )
+    if dialect == "spark":
+        offs = (
+            "SELECT xi, yi, c, explode(sequence(-1, 1)) AS dx FROM t"
+        )
+        offs2 = "SELECT xi, yi, c, dx, explode(sequence(-1, 1)) AS dy FROM o1"
+    else:
+        offs = "SELECT xi, yi, c, unnest(range(-1, 2)) AS dx FROM t"
+        offs2 = "SELECT xi, yi, c, dx, unnest(range(-1, 2)) AS dy FROM o1"
+    gi = (
+        "CAST(num AS DOUBLE)"
+        " / sqrt(CAST(nq_s2 AS DOUBLE) * CAST(nk_k2 AS DOUBLE)"
+        f" / CAST(n - 1 AS DOUBLE))"
+    )
+    return f"""
+    WITH cc AS (SELECT * FROM {cc_rel}),
+         t AS ({dec}),
+         scal AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s,
+                         CAST(sum(c * c) AS BIGINT) AS q
+                  FROM cc),
+         o1 AS ({offs}),
+         msg AS (SELECT xi + dx AS txi, yi + dy AS tyi, c
+                 FROM ({offs2})),
+         loc AS (SELECT t.xi, t.yi, t.c,
+                        CAST(sum(m.c) AS BIGINT) AS lsum,
+                        CAST(count(*) AS BIGINT) AS kn
+                 FROM t JOIN msg m ON m.txi = t.xi AND m.tyi = t.yi
+                 GROUP BY t.xi, t.yi, t.c),
+         z AS (SELECT loc.xi, loc.yi, loc.c, loc.lsum, loc.kn,
+                      scal.n, (scal.n * loc.lsum - loc.kn * scal.s) AS num,
+                      (scal.n * scal.q - scal.s * scal.s) AS nq_s2,
+                      (scal.n * loc.kn - loc.kn * loc.kn) AS nk_k2
+               FROM loc, scal)
+    SELECT xi, yi, c AS n_pages, lsum AS nb_sum, kn AS n_nb,
+           CAST(num AS BIGINT) AS num, {gi} AS gi_star
+    FROM z ORDER BY gi_star DESC, xi, yi LIMIT {k}
+    """
+
+
+@register(
+    "getis_ord_hotspots",
+    lambda: _getis_tail_sql(f"({_morans_rollup_sql('duckdb')})", "duckdb"),
+)
+def q_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 Getis-Ord Gi* hot spots of geocoded page density on the
+    res-4 lattice — local hot-spot z-scores complementing the global
+    Moran's I (see _getis_tail_sql). Engine side reuses the
+    localCheckpointed rollup (CTE-inlining discipline)."""
+    for v in ("documents",):
+        load_table(spark, sf_dir, v).repartition(
+            spark.sparkContext.defaultParallelism
+        ).createOrReplaceTempView(v)
+    cc = spark.sql(_morans_rollup_sql("spark")).localCheckpoint()
+    cc.createOrReplaceTempView("__getis_cc")
+    return spark.sql(_getis_tail_sql("__getis_cc", "spark"))
+
+
 @register("morans_i_pages", _morans_i_sql("duckdb"))
 def q_morans_i_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moran's I of geocoded page density (rook adjacency, res-4 rollup)

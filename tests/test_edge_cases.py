@@ -201,3 +201,38 @@ def test_idw_nearer_source_dominates_and_cap(spark):
         " AS BIGINT), 100000000) AS wq"
     ).collect()[0]["wq"]
     assert capped == 100000000
+
+
+def test_getis_ord_hotspot_ranks_dense_cluster_first(spark):
+    """Gi* semantics on a hand-built lattice: a 3x3 block of heavy cells
+    must out-score an equally-heavy isolated cell (neighborhood sums,
+    not raw counts, drive the statistic)."""
+    import duckdb
+
+    from geografir_spark.geo import cells as C
+    from geografir_spark.queries import _getis_tail_sql
+
+    rows = []
+    # dense cluster around (5,5); one isolated heavy cell at (12, 12);
+    # background singletons
+    for xi in range(4, 7):
+        for yi in range(4, 7):
+            rows.append((xi, yi, 50))
+    rows.append((12, 12, 50))
+    for xi, yi in [(1, 1), (2, 9), (9, 2), (14, 3), (3, 14)]:
+        rows.append((xi, yi, 1))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE grid (xi BIGINT, yi BIGINT, c BIGINT)")
+    con.executemany("INSERT INTO grid VALUES (?,?,?)", rows)
+    enc = C.nested_sql(
+        "SELECT xi, yi, c FROM grid", C.encode_idx_steps("xi", "yi", 4, out="pcell")
+    )
+    out = con.execute(
+        _getis_tail_sql(f"(SELECT pcell, c FROM ({enc}))", "duckdb", k=12)
+    ).fetchdf()
+    con.close()
+    top = out.iloc[0]
+    assert (top.xi, top.yi) == (5, 5)          # cluster centre is the top spot
+    gi = {(r.xi, r.yi): r.gi_star for r in out.itertuples()}
+    assert gi[(5, 5)] > gi.get((12, 12), -99)  # beats the isolated heavy cell
+    assert top.n_nb == 9 and top.nb_sum == 450
