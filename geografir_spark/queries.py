@@ -4252,6 +4252,48 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, "pa", "pb", min_weight=2)
 
 
+def _trajectory_sql(dialect: str) -> str:
+    """Per-host trajectory length over the geocoded page sequence — the
+    movement-analytics companion of od_cell_flows (flows count WHERE
+    hosts move; this measures HOW FAR). Planar lattice distance, like
+    region_dissolve's coverage: resolution-honest and exact; the
+    great-circle form composes via operators/radius_join's haversine
+    fragment.
+
+    Exactness: each segment's length is one fixed double chain whose
+    only libm call is sqrt (IEEE-correctly-rounded), floored to 1e-3
+    milli-degree units PER SEGMENT and BIGINT-summed — a raw double sum
+    of segment lengths would be aggregation-order dependent."""
+    base = _geocoded_base_sql(dialect)
+    host = (
+        "string_split(url, '/')[3]" if dialect == "duckdb" else "split(url, '/')[2]"
+    )
+    return f"""
+    WITH g AS ({base}),
+         l AS (SELECT host, lon, lat,
+                      lag(lon) OVER (PARTITION BY host ORDER BY page_id) AS plon,
+                      lag(lat) OVER (PARTITION BY host ORDER BY page_id) AS plat
+               FROM (SELECT {host} AS host, lon, lat, page_id FROM g)),
+         seg AS (SELECT host,
+                        CAST(floor(sqrt((lon - plon) * (lon - plon)
+                                        + (lat - plat) * (lat - plat))
+                                   * 1000.0) AS BIGINT) AS seg_milli
+                 FROM l WHERE plon IS NOT NULL)
+    SELECT host, CAST(count(*) AS BIGINT) AS n_moves,
+           CAST(sum(seg_milli) AS BIGINT) AS len_milli,
+           CAST(max(seg_milli) AS BIGINT) AS max_seg_milli
+    FROM seg GROUP BY host
+    """
+
+
+@register("host_trajectory_lengths", _trajectory_sql("duckdb"))
+def q_host_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host trajectory length/longest-hop over geocoded page
+    sequences (quantized per-segment lattice distance — see
+    _trajectory_sql)."""
+    return _sql_query(spark, sf_dir, _trajectory_sql("spark"))
+
+
 def _hll_distinct_sql(dialect: str) -> str:
     from geografir_spark.operators import sketch
 
