@@ -4493,6 +4493,69 @@ def q_rolling_7d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _rolling_7d_sql("spark"), views=("events",))
 
 
+def _emerging_sql(dialect: str) -> str:
+    """Emerging-hot-spot analysis (the space-time-cube statistic): per
+    res-4 cell, the Mann-Kendall trend of DAILY event volume — rising /
+    falling / flat spatial cells over time, the spatio-temporal
+    companion to the static Gi* hot spots. Events are placed at their
+    user's customer point (user_id ⊂ c_custkey by fixture).
+
+    Exactness: Mann-Kendall is integer-born — S = Σ_{d1<d2}
+    sign(c_{d2} − c_{d1}) over each cell's observed day series; the
+    significance cut is the integer comparison S² > 4·n_pairs
+    (≈ |z| > 2 for the untied-variance approximation, documented as the
+    screening heuristic, not the exact tie-corrected test). Scale
+    shape: one (cell, day) rollup, a per-cell banded self-join over ≤
+    T(T−1)/2 day pairs (T = days in window, tiny), partial-aggregated
+    sums throughout."""
+    day = (
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        if dialect == "duckdb"
+        else "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+    )
+    loc = cells.nested_sql(
+        f"SELECT c_custkey AS user_id, {_CUST_LON} AS lon, {_CUST_LAT} AS lat"
+        " FROM customer",
+        cells.encode_steps("lon", "lat", ROLLUP_RES),
+    )
+    return f"""
+    WITH ev AS (SELECT user_id, CAST({day} AS BIGINT) AS daynum FROM events),
+         loc AS (SELECT user_id, cell FROM ({loc})),
+         cd AS (SELECT loc.cell, ev.daynum, CAST(count(*) AS BIGINT) AS c
+                FROM ev JOIN loc ON loc.user_id = ev.user_id
+                GROUP BY loc.cell, ev.daynum),
+         pr AS (SELECT a.cell,
+                       CASE WHEN b.c > a.c THEN 1
+                            WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+                FROM cd a JOIN cd b
+                  ON b.cell = a.cell AND a.daynum < b.daynum),
+         mk AS (SELECT cell, CAST(sum(sg) AS BIGINT) AS mk_s,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM pr GROUP BY cell),
+         nd AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(c) AS BIGINT) AS total
+                FROM cd GROUP BY cell)
+    SELECT nd.cell, nd.n_days, nd.total,
+           coalesce(mk.mk_s, 0) AS mk_s,
+           coalesce(mk.n_pairs, 0) AS n_pairs,
+           CASE WHEN coalesce(mk.mk_s, 0) > 0
+                     AND mk.mk_s * mk.mk_s > 4 * mk.n_pairs THEN 'rising'
+                WHEN coalesce(mk.mk_s, 0) < 0
+                     AND mk.mk_s * mk.mk_s > 4 * mk.n_pairs THEN 'falling'
+                ELSE 'flat' END AS trend
+    FROM nd LEFT JOIN mk ON mk.cell = nd.cell
+    """
+
+
+@register("emerging_hotspots", _emerging_sql("duckdb"))
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Mann-Kendall trend of daily event volume — emerging /
+    fading spatial hot spots, integer-exact (see _emerging_sql)."""
+    return _sql_query(
+        spark, sf_dir, _emerging_sql("spark"), views=("events", "customer")
+    )
+
+
 def _retention_sql(dialect: str) -> str:
     """Cohort retention matrix: users grouped by first-seen day, activity
     counted per day offset — the standard growth-analytics rollup. Two
