@@ -1576,6 +1576,67 @@ def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_runs_sql(dialect: str) -> str:
+    """Range-scan fragmentation of each zone's cell cover under MORTON vs
+    HILBERT ordering — the number of contiguous index runs is the number
+    of separate range scans a clustered table needs for that zone, i.e.
+    the locality property Hilbert (the S2 family's curve) exists for.
+    Integer-exact: runs = 1 + Σ [idx − lag(idx) > 1] per zone on each
+    key; one cover explode + two per-zone windows."""
+    res = BBOX_RES
+    seq = (
+        (lambda lo, hi: f"explode(sequence({lo}, {hi}))")
+        if dialect == "spark"
+        else (lambda lo, hi: f"unnest(range({lo}, {hi} + 1))")
+    )
+    enc = cells.nested_sql(
+        cells.nested_sql(
+            "SELECT zone_id, ix, iy FROM grid",
+            cells.encode_idx_steps("ix", "iy", res, out="morton"),
+        ),
+        cells.hilbert_steps("ix", "iy", res, out="hilbert"),
+    )
+    return f"""
+    WITH zb AS (SELECT n_nationkey AS zone_id,
+                       {cells.axis_index_sql(ZONE_MINX, res, lat=False)} AS xlo,
+                       {cells.axis_index_sql(ZONE_MAXX, res, lat=False)} AS xhi,
+                       {cells.axis_index_sql(ZONE_MINY, res, lat=True)} AS ylo,
+                       {cells.axis_index_sql(ZONE_MAXY, res, lat=True)} AS yhi
+                FROM nation),
+         gx AS (SELECT zone_id, ylo, yhi, {seq('xlo', 'xhi')} AS ix FROM zb),
+         grid AS (SELECT zone_id, ix, {seq('ylo', 'yhi')} AS iy FROM gx),
+         k AS (SELECT zone_id, morton, hilbert FROM ({enc})),
+         gm AS (SELECT zone_id,
+                       CASE WHEN morton - lag(morton)
+                                 OVER (PARTITION BY zone_id ORDER BY morton)
+                                 > {1 << cells.RES_BITS} THEN 1 ELSE 0 END AS brk
+                FROM k),
+         gh AS (SELECT zone_id,
+                       CASE WHEN hilbert - lag(hilbert)
+                                 OVER (PARTITION BY zone_id ORDER BY hilbert)
+                                 > 1 THEN 1 ELSE 0 END AS brk
+                FROM k),
+         rm AS (SELECT zone_id, CAST(1 + sum(brk) AS BIGINT) AS runs_morton,
+                       CAST(count(*) AS BIGINT) AS n_cells
+                FROM gm GROUP BY zone_id),
+         rh AS (SELECT zone_id, CAST(1 + sum(brk) AS BIGINT) AS runs_hilbert
+                FROM gh GROUP BY zone_id)
+    SELECT rm.zone_id, rm.n_cells, rm.runs_morton, rh.runs_hilbert
+    FROM rm JOIN rh ON rh.zone_id = rm.zone_id
+    """
+
+
+@register("hilbert_range_runs", _hilbert_runs_sql("duckdb"))
+def q_hilbert_range_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone contiguous-run counts of the cell cover under Morton vs
+    Hilbert index order — the range-scan locality comparison the Hilbert
+    key exists for (geo/cells.py hilbert_steps; see _hilbert_runs_sql).
+    Morton gaps compare at the cell-id stride (res bits suffix)."""
+    return _sql_query(
+        spark, sf_dir, _hilbert_runs_sql("spark"), views=("nation",)
+    )
+
+
 def _buffer_oracle_sql() -> str:
     """Closed-form oracle for zone_buffer_cells: a rect zone's res-R
     cover is an axis-index rectangle, and its k=1 Chebyshev dilation is

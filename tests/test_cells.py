@@ -230,3 +230,51 @@ def test_geohash_precision_bounds():
     for bad in (0, 13):
         with _pytest.raises(ValueError):
             cells.geohash_steps("lon", "lat", bad)
+
+
+def test_hilbert_bijective_adjacent_and_cross_engine(spark):
+    """Hilbert index: bijective over the lattice, consecutive indices are
+    ALWAYS 4-adjacent cells (the property Morton lacks), numpy == DuckDB
+    == Spark on the shared step list."""
+    import duckdb
+    import numpy as np
+
+    from geografir_spark.geo import cells
+
+    for res in (1, 2, 3):
+        n = 1 << res
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = cells.hilbert_np(xs.ravel(), ys.ravel(), res)
+        assert sorted(d.tolist()) == list(range(n * n))  # bijective
+        pos = {int(dd): (int(a), int(b)) for dd, a, b in zip(d, xs.ravel(), ys.ravel())}
+        assert all(
+            abs(pos[k][0] - pos[k + 1][0]) + abs(pos[k][1] - pos[k + 1][1]) == 1
+            for k in range(n * n - 1)
+        )  # unit-step adjacency
+    # canonical res-1 order
+    assert cells.hilbert_np(
+        np.array([0, 0, 1, 1]), np.array([0, 1, 1, 0]), 1
+    ).tolist() == [0, 1, 2, 3]
+    # cross-engine on res 4
+    res, n = 4, 16
+    sql = cells.nested_sql(
+        "SELECT t1.xi, t2.yi FROM (SELECT unnest(range(0, 16)) AS xi) t1,"
+        " (SELECT unnest(range(0, 16)) AS yi) t2",
+        cells.hilbert_steps("xi", "yi", res),
+    )
+    duck = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.connect().execute(
+            f"SELECT xi, yi, hilbert FROM ({sql})"
+        ).fetchall()
+    }
+    grid = (
+        spark.range(0, 16).selectExpr("id AS xi")
+        .crossJoin(spark.range(0, 16).selectExpr("id AS yi"))
+    )
+    sdf = cells.apply_steps(grid, cells.hilbert_steps("xi", "yi", res))
+    got = {(r["xi"], r["yi"]): r["hilbert"] for r in sdf.select("xi", "yi", "hilbert").collect()}
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ref = dict(zip(zip(xs.ravel().tolist(), ys.ravel().tolist()),
+                   cells.hilbert_np(xs.ravel(), ys.ravel(), res).tolist()))
+    assert got == duck == ref
