@@ -2053,6 +2053,83 @@ def q_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_getis_tail_sql("__getis_cc", "spark"))
 
 
+_DBSCAN_MINPTS = 2
+
+
+def _dbscan_oracle_sql() -> str:
+    """Cell-DBSCAN oracle: recursive-CTE closure over 4-adjacency edges
+    between core cells, singletons unioned in (the same replay pattern
+    as _components_oracle)."""
+    dec = cells.nested_sql(
+        "SELECT pcell, c FROM cc", cells.compact_steps("pcell", "xi", "yi")
+    )
+    return f"""
+    WITH RECURSIVE cc AS ({_morans_rollup_sql("duckdb")}),
+    t AS ({dec}),
+    core AS (SELECT pcell, xi, yi, c FROM t WHERE c >= {_DBSCAN_MINPTS}),
+    e0 AS (SELECT a.pcell AS s, b.pcell AS d FROM core a JOIN core b
+             ON a.xi + 1 = b.xi AND a.yi = b.yi
+           UNION ALL
+           SELECT a.pcell, b.pcell FROM core a JOIN core b
+             ON a.xi = b.xi AND a.yi + 1 = b.yi),
+    e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+    reach (id, label) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.id
+    ),
+    lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    allc AS (SELECT core.pcell AS id,
+                    coalesce(lab.label, core.pcell) AS label, core.c
+             FROM core LEFT JOIN lab ON lab.id = core.pcell)
+    SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c) AS BIGINT) AS n_pages,
+           CAST(min(id) AS BIGINT) AS min_cell
+    FROM allc GROUP BY label
+    """
+
+
+@register("cell_dbscan_clusters", _dbscan_oracle_sql())
+def q_cell_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (cell-DBSCAN): core cells =
+    rollup count ≥ minPts, clusters = connected components of the
+    4-adjacency core-cell graph (operators/dedup.py:connected_components
+    — the same iterative hash-min operator the dedup pipeline uses),
+    singleton cores as their own clusters. Edges come from two shifted
+    equi-joins, never an OR nested loop; the rollup is localCheckpointed
+    per the CTE-inlining discipline. Oracle: recursive-CTE closure over
+    the identical edge set."""
+    from geografir_spark.operators.dedup import connected_components
+
+    for v in ("documents",):
+        load_table(spark, sf_dir, v).repartition(
+            spark.sparkContext.defaultParallelism
+        ).createOrReplaceTempView(v)
+    cc = spark.sql(_morans_rollup_sql("spark")).localCheckpoint()
+    core = cells.apply_steps(
+        cc.where(F.col("c") >= _DBSCAN_MINPTS),
+        cells.compact_steps("pcell", "xi", "yi"),
+    ).select("pcell", "xi", "yi", "c")
+    a = core.selectExpr("pcell AS pa", "xi", "yi")
+    b = core.selectExpr("pcell AS pb", "xi AS bxi", "yi AS byi")
+    ex = a.join(b, (F.expr("xi + 1 = bxi")) & (F.expr("yi = byi")))
+    ey = a.join(b, (F.expr("xi = bxi")) & (F.expr("yi + 1 = byi")))
+    edges = ex.unionByName(ey).select("pa", "pb")
+    # lattice adjacency graphs have LONG diameters (snaking cell chains),
+    # unlike dup-cluster graphs (shallow stars) — the default 25-round
+    # bound genuinely trips here (measured). Hash-min needs ~diameter
+    # rounds; at production diameters switch to large-star/small-star.
+    labels = connected_components(edges, src="pa", dst="pb", max_iter=256)
+    lab = core.join(labels, core["pcell"] == labels["id"], "left").select(
+        "pcell", F.coalesce("label", "pcell").alias("label"), "c"
+    )
+    return lab.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").alias("n_cells"),
+        F.sum("c").alias("n_pages"),
+        F.min("pcell").alias("min_cell"),
+    )
+
+
 @register("morans_i_pages", _morans_i_sql("duckdb"))
 def q_morans_i_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moran's I of geocoded page density (rook adjacency, res-4 rollup)
