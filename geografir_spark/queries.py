@@ -2115,11 +2115,10 @@ def q_cell_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = a.join(b, (F.expr("xi + 1 = bxi")) & (F.expr("yi = byi")))
     ey = a.join(b, (F.expr("xi = bxi")) & (F.expr("yi + 1 = byi")))
     edges = ex.unionByName(ey).select("pa", "pb")
-    # lattice adjacency graphs have LONG diameters (snaking cell chains),
-    # unlike dup-cluster graphs (shallow stars) — the default 25-round
-    # bound genuinely trips here (measured). Hash-min needs ~diameter
-    # rounds; at production diameters switch to large-star/small-star.
-    labels = connected_components(edges, src="pa", dst="pb", max_iter=256)
+    # lattice adjacency graphs have LONG diameters (snaking cell
+    # chains), unlike dup-cluster stars — plain hash-min measured ~100
+    # rounds here; the operator's pointer-doubling makes it O(log d)
+    labels = connected_components(edges, src="pa", dst="pb")
     lab = core.join(labels, core["pcell"] == labels["id"], "left").select(
         "pcell", F.coalesce("label", "pcell").alias("label"), "c"
     )

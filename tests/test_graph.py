@@ -100,3 +100,16 @@ def test_triangle_min_weight_support_filter(spark):
     assert (r1["n_edges"], r1["n_triangles"]) == (3, 1)
     r2 = triangle_count(df, "s", "d", min_weight=2).collect()[0]
     assert (r2["n_edges"], r2["n_triangles"]) == (2, 0)
+
+
+def test_components_pointer_doubling_on_long_path(spark):
+    """A 200-node path (diameter 199) must converge well inside the
+    25-round default — only possible with the pointer-doubling step —
+    and label everything with the path's minimum id."""
+    from geografir_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = connected_components(df)  # default max_iter=25
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(200)}
