@@ -57,6 +57,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     pyr = QUERIES["tile_pyramid"].fn(spark, sf_dir)
     print(json.dumps({"stage": "pyramid", "n_parents": pyr.count()}))
 
+    gi = QUERIES["getis_ord_hotspots"].fn(spark, sf_dir).limit(3).collect()
+    print(json.dumps({"stage": "gi_star_hotspots",
+                      "top": [[r["xi"], r["yi"], round(r["gi_star"], 3)]
+                              for r in gi]}))
+
+    db = QUERIES["cell_dbscan_clusters"].fn(spark, sf_dir)
+    sizes = sorted((r["n_cells"] for r in db.collect()), reverse=True)
+    print(json.dumps({"stage": "dbscan", "n_clusters": len(sizes),
+                      "sizes": sizes[:5]}))
+
+    em = QUERIES["emerging_hotspots"].fn(spark, sf_dir)
+    trend = {r["trend"]: r["n"] for r in
+             em.groupBy("trend").count().withColumnRenamed("count", "n").collect()}
+    print(json.dumps({"stage": "emerging", "trend_counts": trend}))
+
     spark.stop()
 
 
