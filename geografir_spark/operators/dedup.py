@@ -151,6 +151,7 @@ def minhash_pairs_sql(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int = 256,
 ) -> str:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
@@ -158,9 +159,21 @@ def minhash_pairs_sql(
     (band_idx, sig), collect the sorted doc list per bucket, and generate
     in-bucket pairs with array lambdas. One signature pass + ONE shuffle
     on the bucket key; a band-bucket self-join would compute signatures on
-    both sides (Spark inlines CTEs) and shuffle both. Emitted pair count
-    is identical (Σ |bucket|²/2 either way). DuckDB keeps the self-join
-    form (it materializes CTEs; the oracle optimizes for clarity)."""
+    both sides (Spark inlines CTEs) and shuffle both. DuckDB keeps the
+    self-join form (it materializes CTEs; the oracle optimizes for
+    clarity) with a row_number rank replaying the cap below exactly.
+
+    Degenerate-bucket cap (r3 verdict): a bucket of n identical docs used
+    to expand to n²/2 pairs in ONE task's array — a boilerplate page
+    repeated 10⁷ times is a 5·10¹³-row single-task blowup. Each bucket now
+    pairs only its ``max_bucket`` smallest docs against everything after
+    them: ≤ n·max_bucket pairs per bucket, pair array ≤ max_bucket·n
+    structs, and transitive-dedup connectivity is preserved exactly
+    (every doc still pairs with the bucket's minimum, so connected
+    components are unchanged). Buckets with n ≤ max_bucket — all real
+    near-dup buckets — emit every pair, identical to the uncapped form.
+    The cap is part of the operator's contract and both dialects replay
+    it, so capped outputs still oracle-match."""
     prefix = _bandrows_cte_sql(
         rel, id_col, text_col, dialect, n_hashes, bands, shingle_k
     )
@@ -170,16 +183,22 @@ def minhash_pairs_sql(
          buckets AS (SELECT sort_array(collect_list(doc)) AS docs
                      FROM bandrows GROUP BY band_idx, sig HAVING count(*) > 1)
     SELECT DISTINCT doc_a, doc_b FROM (
-      SELECT inline(flatten(transform(sequence(0, size(docs) - 2),
+      SELECT inline(flatten(transform(
+               sequence(0, least(size(docs) - 2, {max_bucket - 1})),
                i -> transform(slice(docs, i + 2, size(docs) - i - 1),
                               d -> named_struct('doc_a', docs[i], 'doc_b', d)))))
       FROM buckets)
     """
     return f"""
-    {prefix}
+    {prefix},
+         ranked AS (SELECT doc, band_idx, sig,
+                           row_number() OVER (PARTITION BY band_idx, sig
+                                              ORDER BY doc) AS rk
+                    FROM bandrows)
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bandrows a JOIN bandrows b
+    FROM ranked a JOIN ranked b
       ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc < b.doc
+    WHERE a.rk <= {max_bucket}
     """
 
 
