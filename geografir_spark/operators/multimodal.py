@@ -34,11 +34,147 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
 
     A deployment replaces this with PIL.Image.open / soundfile / pyav while
     keeping every Spark-side contract (binary in, ndarray out, called only
-    from Arrow-batched kernels) unchanged."""
+    from Arrow-batched kernels) unchanged. The array a real decoder must
+    return is pinned by ``validate_decoded`` and the contract test in
+    tests/test_multimodal.py — plug the codec in, point the contract test
+    at it, and the whole plumbing stays green unchanged."""
     raise NotImplementedError(
         f"media decode for {media_type!r} requires codec libraries not "
         "present in this environment; use fake_decode for plumbing tests"
     )
+
+
+#: decoded-array contract per media type: (allowed ndim, allowed dtypes)
+#: image  → (h, w, c) uint8, c ∈ {1, 3, 4}
+#: audio  → (n_samples, channels) float32 in [-1, 1] or int16
+#: video  → (n_frames, h, w, c) uint8, c ∈ {1, 3, 4}
+DECODED_CONTRACT = {
+    "image": ((3,), ("uint8",)),
+    "audio": ((2,), ("float32", "int16")),
+    "video": ((4,), ("uint8",)),
+}
+
+
+def validate_decoded(
+    arr: np.ndarray, media_type: str, meta: "dict | None" = None
+) -> np.ndarray:
+    """Assert ``arr`` satisfies the decode-seam contract for ``media_type``
+    (r3 verdict item #6: pin the contract so a real codec drops in
+    test-first). Checks ndim, dtype, channel counts, C-contiguity, and —
+    when ``meta`` (a MEDIA_META_SCHEMA row as a dict) is given — that the
+    spatial shape matches the declared width/height. Returns ``arr``
+    unchanged on success; raises ValueError with the violated clause."""
+    if media_type not in DECODED_CONTRACT:
+        raise ValueError(
+            f"unknown media_type {media_type!r}; expected one of "
+            f"{sorted(DECODED_CONTRACT)}"
+        )
+    ndims, dtypes = DECODED_CONTRACT[media_type]
+    if arr.ndim not in ndims:
+        raise ValueError(
+            f"{media_type}: expected ndim in {ndims}, got {arr.ndim} "
+            f"(shape {arr.shape})"
+        )
+    if arr.dtype.name not in dtypes:
+        raise ValueError(
+            f"{media_type}: expected dtype in {dtypes}, got {arr.dtype.name}"
+        )
+    if not arr.flags["C_CONTIGUOUS"]:
+        raise ValueError(f"{media_type}: decoded array must be C-contiguous")
+    if media_type in ("image", "video"):
+        channels = arr.shape[-1]
+        if channels not in (1, 3, 4):
+            raise ValueError(
+                f"{media_type}: channel count must be 1/3/4, got {channels}"
+            )
+    if media_type == "audio":
+        if arr.dtype.name == "float32" and arr.size:
+            peak = float(np.abs(arr).max())
+            if peak > 1.0 + 1e-6:
+                raise ValueError(
+                    f"audio: float32 samples must lie in [-1, 1], peak {peak}"
+                )
+    if meta is not None:
+        h = meta.get("height")
+        w = meta.get("width")
+        if media_type == "image" and None not in (h, w):
+            if arr.shape[0] != h or arr.shape[1] != w:
+                raise ValueError(
+                    f"image: shape {arr.shape[:2]} != metadata (h, w) "
+                    f"({h}, {w})"
+                )
+        if media_type == "video" and None not in (h, w):
+            if arr.shape[1] != h or arr.shape[2] != w:
+                raise ValueError(
+                    f"video: frame shape {arr.shape[1:3]} != metadata "
+                    f"(h, w) ({h}, {w})"
+                )
+    return arr
+
+
+def contract_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic CONTRACT-SATISFYING fake decoder: byte stream → a
+    typed array of exactly the shape/dtype a real PIL/soundfile/pyav
+    decoder returns under DECODED_CONTRACT. The contract tests run against
+    this; a deployment swaps in the real codec and reruns them unchanged."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if media_type == "image":
+        n = max(len(raw), 1)
+        side = int(np.ceil(np.sqrt(np.ceil(n / 3))))
+        img = np.zeros(side * side * 3, dtype=np.uint8)
+        img[: len(raw)] = raw
+        return img.reshape(side, side, 3)
+    if media_type == "audio":
+        f = (raw.astype(np.float32) - 128.0) / 128.0
+        return np.ascontiguousarray(f.reshape(-1, 1))
+    if media_type == "video":
+        frame = contract_decoder(payload, "image")
+        return np.ascontiguousarray(np.stack([frame, frame[::-1]]))
+    raise ValueError(media_type)
+
+
+def decoded_stats(
+    df: DataFrame,
+    decoder,
+    *,
+    media_type_col: str = "media_type",
+    binary_col: str = "payload",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """The pluggable decode stage: run ``decoder(payload, media_type)``
+    (validated against DECODED_CONTRACT) inside one Arrow-batched
+    mapInPandas kernel and emit per-item decoded-array stats —
+    (id, shape array<int>, dtype, n_elems, value_sum). This is the exact
+    kernel a real deployment runs; only ``decoder`` changes."""
+    schema = (
+        f"{id_col} bigint, shape array<int>, dtype string,"
+        " n_elems bigint, value_sum double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for rid, mt, raw in zip(
+                pdf[id_col], pdf[media_type_col], pdf[binary_col]
+            ):
+                arr = validate_decoded(decoder(bytes(raw), mt), mt)
+                recs.append(
+                    (
+                        rid,
+                        list(arr.shape),
+                        arr.dtype.name,
+                        int(arr.size),
+                        float(arr.astype(np.float64).sum()),
+                    )
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[id_col, "shape", "dtype", "n_elems", "value_sum"],
+            )
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def fake_decode(payload: bytes) -> np.ndarray:

@@ -4672,14 +4672,20 @@ def _emerging_sql(dialect: str) -> str:
     companion to the static Gi* hot spots. Events are placed at their
     user's customer point (user_id ⊂ c_custkey by fixture).
 
-    Exactness: Mann-Kendall is integer-born — S = Σ_{d1<d2}
-    sign(c_{d2} − c_{d1}) over each cell's observed day series; the
-    significance cut is the integer comparison S² > 4·n_pairs
-    (≈ |z| > 2 for the untied-variance approximation, documented as the
-    screening heuristic, not the exact tie-corrected test). Scale
-    shape: one (cell, day) rollup, a per-cell banded self-join over ≤
-    T(T−1)/2 day pairs (T = days in window, tiny), partial-aggregated
-    sums throughout."""
+    Exactness (r3 verdict item #9 — the EXACT tie-corrected test, no
+    longer the untied screening heuristic): Mann-Kendall is integer-born —
+    S = Σ_{d1<d2} sign(c_{d2} − c_{d1}) over each cell's observed day
+    series, and Kendall's tie-corrected variance is
+    Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 with one tie
+    group per repeated daily count. The two-sided α=0.05 cut with the
+    standard continuity correction (Z = (S∓1)/√Var) stays ALL-INTEGER:
+    rising  ⇔ S > 1 ∧ 11250·(S−1)² > 2401·V18,
+    falling ⇔ S < −1 ∧ 11250·(S+1)² > 2401·V18,
+    where V18 = 18·Var(S) (integer) and 2401/625 = 1.96², 625·18 = 11250.
+    Scale shape: one (cell, day) rollup, a per-cell banded self-join over
+    ≤ T(T−1)/2 day pairs (T = days in window, tiny), one extra
+    (cell, count)-group agg for the tie term, partial-aggregated sums
+    throughout."""
     day = (
         "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
         if dialect == "duckdb"
@@ -4704,18 +4710,32 @@ def _emerging_sql(dialect: str) -> str:
          mk AS (SELECT cell, CAST(sum(sg) AS BIGINT) AS mk_s,
                        CAST(count(*) AS BIGINT) AS n_pairs
                 FROM pr GROUP BY cell),
+         ties AS (SELECT cell,
+                         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                           AS tie_adj
+                  FROM (SELECT cell, c, CAST(count(*) AS BIGINT) AS t
+                        FROM cd GROUP BY cell, c)
+                  GROUP BY cell),
          nd AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_days,
                        CAST(sum(c) AS BIGINT) AS total
-                FROM cd GROUP BY cell)
-    SELECT nd.cell, nd.n_days, nd.total,
-           coalesce(mk.mk_s, 0) AS mk_s,
-           coalesce(mk.n_pairs, 0) AS n_pairs,
-           CASE WHEN coalesce(mk.mk_s, 0) > 0
-                     AND mk.mk_s * mk.mk_s > 4 * mk.n_pairs THEN 'rising'
-                WHEN coalesce(mk.mk_s, 0) < 0
-                     AND mk.mk_s * mk.mk_s > 4 * mk.n_pairs THEN 'falling'
+                FROM cd GROUP BY cell),
+         v AS (SELECT nd.cell, nd.n_days, nd.total,
+                      coalesce(mk.mk_s, 0) AS mk_s,
+                      coalesce(mk.n_pairs, 0) AS n_pairs,
+                      nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                        - coalesce(ties.tie_adj, 0) AS v18
+               FROM nd LEFT JOIN mk ON mk.cell = nd.cell
+                       LEFT JOIN ties ON ties.cell = nd.cell)
+    SELECT cell, n_days, total, mk_s, n_pairs,
+           CAST(v18 AS BIGINT) AS var18,
+           CASE WHEN mk_s > 1
+                     AND 11250 * (mk_s - 1) * (mk_s - 1) > 2401 * v18
+                  THEN 'rising'
+                WHEN mk_s < -1
+                     AND 11250 * (mk_s + 1) * (mk_s + 1) > 2401 * v18
+                  THEN 'falling'
                 ELSE 'flat' END AS trend
-    FROM nd LEFT JOIN mk ON mk.cell = nd.cell
+    FROM v
     """
 
 

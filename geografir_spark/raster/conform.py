@@ -48,6 +48,9 @@ def _invert_affine(t):
     return (ia, ib, ic, id_, ie, if_)
 
 
+RESAMPLING = ("nearest", "bilinear")
+
+
 def conform_np(
     src: np.ndarray,
     src_transform,
@@ -60,10 +63,24 @@ def conform_np(
     ref_width: int,
     target_nodata=None,
     target_dtype=None,
+    resampling: str = "nearest",
 ) -> tuple[np.ndarray, float, str]:
     """Conform one (count, h, w) source array onto the reference grid.
 
+    ``resampling``: the reference's ``conform_to`` passes any
+    ``rasterio.warp.Resampling`` through (raster_array.py:163,209); its own
+    test matrix exercises only nearest, which r1-r3 vendored. ``bilinear``
+    (GDAL-convention) is now implemented too: sample at the fractional
+    source pixel coordinate, weight the 4 surrounding pixel centers,
+    EXCLUDE nodata / out-of-grid neighbors and renormalize by the surviving
+    weight (all four invalid → nodata); integer outputs round half away
+    from zero before the cast, as GDAL does.
+
     Returns (out_array, out_nodata, out_dtype_name)."""
+    if resampling not in RESAMPLING:
+        raise ValueError(
+            f"resampling must be one of {RESAMPLING}, got {resampling!r}"
+        )
     count = src.shape[0]
     out_nodata = target_nodata or src_nodata  # reference's `or` semantics
     out_dtype = np.dtype(target_dtype) if target_dtype is not None else src.dtype
@@ -80,11 +97,12 @@ def conform_np(
     xform = crsmod.get_transform(ref_crs, src_crs)
     sx, sy = xform(x.ravel(), y.ravel())
 
-    # source coords → source pixel indices (inverse affine, floor = nearest
-    # for center-sampled grids)
+    # source coords → fractional source pixel indices (inverse affine)
     ia, ib, ic, id_, ie, if_ = _invert_affine(src_transform)
-    scol = np.floor(ia * sx + ib * sy + ic).astype(np.int64)
-    srow = np.floor(id_ * sx + ie * sy + if_).astype(np.int64)
+    fcol = ia * sx + ib * sy + ic
+    frow = id_ * sx + ie * sy + if_
+    scol = np.floor(fcol).astype(np.int64)  # floor = nearest for centers
+    srow = np.floor(frow).astype(np.int64)
     src_h, src_w = src.shape[1], src.shape[2]
     inbounds = (scol >= 0) & (scol < src_w) & (srow >= 0) & (srow < src_h)
     scol_c = np.clip(scol, 0, src_w - 1)
@@ -92,11 +110,52 @@ def conform_np(
 
     out = np.empty((count, ref_height, ref_width), dtype=out_dtype)
     src_mask = mask_np(src, src_nodata)
-    for bi in range(count):
-        vals = src[bi, srow_c, scol_c]
-        vmask = src_mask[bi, srow_c, scol_c] | ~inbounds
-        band = np.where(vmask, out_nodata, vals).reshape(ref_height, ref_width)
-        out[bi] = band.astype(out_dtype)
+    if resampling == "bilinear":
+        # corner-pixel coordinates and weights around the sample point
+        gx = fcol - 0.5
+        gy = frow - 0.5
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        wx = gx - x0
+        wy = gy - y0
+        corners = (
+            (x0, y0, (1.0 - wx) * (1.0 - wy)),
+            (x0 + 1, y0, wx * (1.0 - wy)),
+            (x0, y0 + 1, (1.0 - wx) * wy),
+            (x0 + 1, y0 + 1, wx * wy),
+        )
+        integer_out = np.issubdtype(out_dtype, np.integer)
+        for bi in range(count):
+            acc = np.zeros(fcol.shape, dtype=np.float64)
+            wsum = np.zeros(fcol.shape, dtype=np.float64)
+            for cx, cy, w in corners:
+                ok = (cx >= 0) & (cx < src_w) & (cy >= 0) & (cy < src_h)
+                cxc = np.clip(cx, 0, src_w - 1)
+                cyc = np.clip(cy, 0, src_h - 1)
+                valid = ok & ~src_mask[bi, cyc, cxc]
+                wv = np.where(valid, w, 0.0)
+                acc += wv * np.where(valid, src[bi, cyc, cxc], 0.0).astype(
+                    np.float64
+                )
+                wsum += wv
+            # validity = any surviving corner weight (NOT nearest's strict
+            # center-inbounds rule): a sample on/just past the source edge
+            # renormalizes to the edge pixels, as GDAL's warp does; samples
+            # with no in-grid valid corner at all become nodata
+            good = wsum > 0.0
+            vals = np.divide(acc, wsum, out=np.zeros_like(acc), where=good)
+            if integer_out:
+                vals = np.copysign(np.floor(np.abs(vals) + 0.5), vals)
+            band = np.where(good, vals, out_nodata)
+            out[bi] = band.reshape(ref_height, ref_width).astype(out_dtype)
+    else:
+        for bi in range(count):
+            vals = src[bi, srow_c, scol_c]
+            vmask = src_mask[bi, srow_c, scol_c] | ~inbounds
+            band = np.where(vmask, out_nodata, vals).reshape(
+                ref_height, ref_width
+            )
+            out[bi] = band.astype(out_dtype)
 
     # mask merge (raster_array.py:212-218): ref mask broadcasts across bands
     out_mask = mask_np(out, out_nodata)
@@ -111,10 +170,15 @@ def conform_tiles(
     on: str = "tile_id",
     target_nodata=None,
     target_dtype=None,
+    resampling: str = "nearest",
 ) -> DataFrame:
     """Distributed conform: join src and ref tiles on ``on`` (both in the
     TILE_SCHEMA shape), run the kernel per pair. Output = conformed tiles in
     TILE_SCHEMA with the reference's grid and the source's identity."""
+    if resampling not in RESAMPLING:
+        raise ValueError(
+            f"resampling must be one of {RESAMPLING}, got {resampling!r}"
+        )
     ref = ref_tiles.selectExpr(
         f"{on} AS __ref_key",
         "crs AS __ref_crs",
@@ -167,6 +231,7 @@ def conform_tiles(
                     int(col["__ref_width"][i]),
                     target_nodata=target_nodata,
                     target_dtype=target_dtype,
+                    resampling=resampling,
                 )
                 out_cols["tile_id"].append(col["tile_id"][i])
                 out_cols["cell"].append(col["cell"][i])

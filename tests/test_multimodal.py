@@ -94,3 +94,82 @@ def test_frame_samples_query(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
     assert all(r["n_frames"] == 500 for r in rows)  # 500 docs, 4 frames each
     assert all(r["total_mass"] > 0 for r in rows)
+
+
+# -- decode-seam contract (r3 verdict #6) -------------------------------------
+# A real codec must satisfy exactly these checks; plug it in as `decoder`
+# and this suite pins the plumbing without any other change.
+
+from geografir_spark.operators.multimodal import contract_decoder as _contract_decoder  # noqa: E501
+
+
+def test_decoded_contract_accepts_conforming_arrays():
+    from geografir_spark.operators.multimodal import validate_decoded
+
+    payload = bytes(range(48))
+    for mt in ("image", "audio", "video"):
+        arr = _contract_decoder(payload, mt)
+        assert validate_decoded(arr, mt) is arr
+    # metadata shape agreement
+    img = _contract_decoder(payload, "image")
+    h, w = img.shape[:2]
+    validate_decoded(img, "image", {"height": h, "width": w})
+    vid = _contract_decoder(payload, "video")
+    validate_decoded(vid, "video", {"height": h, "width": w})
+
+
+def test_decoded_contract_rejects_violations():
+    from geografir_spark.operators.multimodal import validate_decoded
+
+    with pytest.raises(ValueError, match="ndim"):
+        validate_decoded(np.zeros((4, 4), dtype=np.uint8), "image")
+    with pytest.raises(ValueError, match="dtype"):
+        validate_decoded(np.zeros((4, 4, 3), dtype=np.float64), "image")
+    with pytest.raises(ValueError, match="channel"):
+        validate_decoded(np.zeros((4, 4, 2), dtype=np.uint8), "image")
+    with pytest.raises(ValueError, match="C-contiguous"):
+        validate_decoded(
+            np.zeros((4, 4, 3), dtype=np.uint8)[:, ::2], "image"
+        )
+    with pytest.raises(ValueError, match=r"\[-1, 1\]"):
+        validate_decoded(
+            np.full((8, 1), 2.0, dtype=np.float32), "audio"
+        )
+    with pytest.raises(ValueError, match="metadata"):
+        validate_decoded(
+            np.zeros((4, 4, 3), dtype=np.uint8), "image",
+            {"height": 8, "width": 8},
+        )
+    with pytest.raises(ValueError, match="unknown media_type"):
+        validate_decoded(np.zeros((4, 4, 3), dtype=np.uint8), "text")
+
+
+def test_decoded_stats_kernel_runs_decoder_distributed(spark):
+    """The pluggable decode stage end-to-end on Spark: schema, Arrow batch
+    shape, per-type array stats — swap `_contract_decoder` for a real codec
+    and nothing else changes."""
+    from geografir_spark.operators.multimodal import decoded_stats
+
+    rows = [
+        (1, "image", bytes(range(27))),
+        (2, "audio", bytes([0, 64, 128, 192, 255])),
+        (3, "video", bytes(range(12))),
+    ]
+    df = spark.createDataFrame(
+        rows, "page_id: long, media_type: string, payload: binary"
+    )
+    got = {r["page_id"]: r for r in decoded_stats(df, _contract_decoder).collect()}
+    assert got[1]["shape"] == [3, 3, 3] and got[1]["dtype"] == "uint8"
+    assert got[2]["shape"] == [5, 1] and got[2]["dtype"] == "float32"
+    assert got[3]["shape"][0] == 2 and got[3]["dtype"] == "uint8"
+    # value_sum is exact on these deterministic fakes
+    assert got[1]["value_sum"] == float(sum(range(27)))
+    assert got[2]["n_elems"] == 5
+    # a contract-violating decoder fails loudly inside the kernel
+    def bad(payload, mt):
+        return np.zeros((2, 2), dtype=np.uint8)  # wrong ndim for any type
+
+    with pytest.raises(Exception) as ei:
+        decoded_stats(df, bad).collect()
+    # Spark truncates the nested message; the validator frame survives
+    assert "validate_decoded" in str(ei.value)
