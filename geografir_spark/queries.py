@@ -4780,6 +4780,305 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: training-pipeline + tiling ops (all dual-dialect)
+# ---------------------------------------------------------------------------
+
+def _stratified_split_sql(dialect: str) -> str:
+    """Deterministic hash split train/val/test (80/10/10) stratified
+    per-language report — THE reproducible split every training pipeline
+    needs. The assignment is hash60(doc_id) % 100 (same rows in every
+    engine, cluster, and rerun — TABLESAMPLE is partition-dependent); the
+    only shuffle is the final (lang, split) agg. At 100 TB this is a
+    map-only projection + one tiny agg."""
+    from geografir_spark.operators.text import hash60_expr
+
+    h = hash60_expr("CAST(doc_id AS STRING)", dialect)
+    return f"""
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (SELECT doc_id, lang, n_chars,
+                 CASE WHEN ({h}) % 100 < 80 THEN 'train'
+                      WHEN ({h}) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY lang, split
+    """
+
+
+@register("stratified_split", _stratified_split_sql("duckdb"))
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) stats of the deterministic 80/10/10 hash split
+    (see _stratified_split_sql)."""
+    return _sql_query(spark, sf_dir, _stratified_split_sql("spark"))
+
+
+def _funnel_sql(dialect: str) -> str:
+    """Gopher-style quality-filter funnel with per-stage survivor counts —
+    the standard curation report (how many docs each rule removes).
+    Stages are CUMULATIVE (a doc reaches stage k only by passing 1..k-1):
+    1. 5 ≤ n_tokens ≤ 1000
+    2. mean token length in [2, 12]  (integer form: 10·len_nospace
+       between 20·n_tok and 120·n_tok)
+    3. distinct-token ratio ≥ 0.2    (integer form: 5·n_distinct ≥ n_tok)
+    4. contains a stopword ('the' or 'a')
+    One scan, map-only depth computation, one 1-row agg — no shuffle of
+    document rows at any scale."""
+    from geografir_spark.operators.text import (
+        n_tokens_expr,
+        regexp_strip_expr,
+        tokens_expr,
+    )
+
+    toks = tokens_expr("text", dialect)
+    n_tok = n_tokens_expr("text", dialect)
+    nospace = f"length({regexp_strip_expr('text', ' ', dialect)})"
+    if dialect == "spark":
+        n_distinct = f"size(array_distinct({toks}))"
+        has_stop = f"arrays_overlap({toks}, array('the', 'a'))"
+    else:
+        n_distinct = f"len(list_distinct({toks}))"
+        has_stop = (
+            f"len(list_intersect({toks}, ['the', 'a'])) > 0"
+        )
+    return f"""
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_len,
+           CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_wordlen,
+           CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_distinct,
+           CAST(sum(CASE WHEN depth >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_stopword,
+           CAST(sum(CASE WHEN depth >= 4 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS surviving_chars
+    FROM (SELECT n_chars,
+                 CASE WHEN NOT (nt BETWEEN 5 AND 1000) THEN 0
+                      WHEN NOT (10 * ns BETWEEN 20 * nt AND 120 * nt) THEN 1
+                      WHEN NOT (5 * nd >= nt) THEN 2
+                      WHEN NOT st THEN 3
+                      ELSE 4 END AS depth
+          FROM (SELECT n_chars, {n_tok} AS nt, {nospace} AS ns,
+                       {n_distinct} AS nd, {has_stop} AS st
+                FROM documents))
+    """
+
+
+@register("quality_filter_funnel", _funnel_sql("duckdb"))
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-filter funnel over documents (see _funnel_sql)."""
+    return _sql_query(spark, sf_dir, _funnel_sql("spark"), repartition=True)
+
+
+def _token_hist_sql(dialect: str) -> str:
+    """Per-language token-count histogram in power-of-2 buckets — the
+    length profile used to choose packing/truncation lengths. bucket_lo =
+    2^floor(log2(n_tokens)) is exact in both engines (log2 of an integer
+    < 2^20 never lands a representable double on the wrong side of an
+    integer). Map-only + one small agg."""
+    n_tok = __import__(
+        "geografir_spark.operators.text", fromlist=["n_tokens_expr"]
+    ).n_tokens_expr("text", dialect)
+    return f"""
+    SELECT lang,
+           CAST(pow(2, floor(log2(greatest({n_tok}, 1)))) AS BIGINT)
+             AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum({n_tok}) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang, bucket_lo
+    """
+
+
+@register("token_length_histogram", _token_hist_sql("duckdb"))
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in log2 buckets per lang (_token_hist_sql)."""
+    return _sql_query(spark, sf_dir, _token_hist_sql("spark"))
+
+
+_XYZ_ZOOM = 6
+
+
+def _xyz_tiles_sql(dialect: str, zoom: int = _XYZ_ZOOM) -> str:
+    """Slippy-map XYZ tile assignment (the OSM/web-map tiling standard,
+    EPSG:3857 quadtree) for the geocoded pages + Bing-style quadkey:
+    x = ⌊(lon+180)/360·2^z⌋, y = ⌊(1 − asinh(tan φ)/π)/2·2^z⌋, quadkey
+    digit k = y-bit·2 + x-bit at level k. asinh(tan φ) is the exact
+    Mercator form (both engines evaluate IEEE doubles; the fixture's
+    milli-degree lattice sits far from tile boundaries). Top-20 tiles by
+    page count — the tile-server heatmap query."""
+    n = 1 << zoom
+    base = _geocoded_base_sql(dialect)
+    # clamp to the Web-Mercator domain FIRST (the standard ±85.05112878°
+    # tile clamp — at lat −90 the fixture produces tan+sec → 0 and ln
+    # overflows), then clamp the tile index
+    lat_c = "least(greatest(lat, -85.05112878), 85.05112878)"
+    ye = (
+        f"CAST(least(greatest(floor((1.0 - ln(tan(radians({lat_c}))"
+        f" + 1.0 / cos(radians({lat_c}))) / pi()) / 2.0 * {n}), 0), {n - 1})"
+        f" AS BIGINT)"
+    )
+    xe = (
+        f"CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), 0),"
+        f" {n - 1}) AS BIGINT)"
+    )
+    shr = (lambda e, k: f"({e} >> {k})") if dialect == "duckdb" else (
+        lambda e, k: f"shiftright({e}, {k})"
+    )
+    digits = " || ".join(
+        f"CAST({shr('ty', zoom - k)} % 2 * 2 + {shr('tx', zoom - k)} % 2"
+        " AS STRING)"
+        for k in range(1, zoom + 1)
+    )
+    return f"""
+    SELECT tx, ty, {digits} AS quadkey, count(*) AS n_pages
+    FROM (SELECT {xe} AS tx, {ye} AS ty FROM ({base}))
+    GROUP BY tx, ty
+    ORDER BY n_pages DESC, tx, ty LIMIT 20
+    """
+
+
+@register("xyz_tile_counts", _xyz_tiles_sql("duckdb"))
+def q_xyz_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 z6 slippy tiles of the geocoded pages with quadkeys
+    (see _xyz_tiles_sql)."""
+    return _sql_query(spark, sf_dir, _xyz_tiles_sql("spark"), repartition=True)
+
+
+_SMOOTH_RES = 5
+
+
+def _ring_smooth_sql(dialect: str, res: int = _SMOOTH_RES) -> str:
+    """3×3 k-ring smoothing of the per-cell page counts on the integer
+    (cx, cy) grid — the focal-mean the tiling layer applies before
+    rendering heatmaps (the vector analog of raster focal_stats). Shape:
+    one grid agg, then a 9-row offsets cross join + re-agg — shuffle is
+    O(occupied cells), never O(pages). ring_n counts OCCUPIED neighbor
+    cells; smoothed_milli = floor(1000·ring_sum/ring_n) stays integer."""
+    n = 1 << res
+    base = _geocoded_base_sql(dialect)
+    cx = f"CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    cy = f"CAST(least(greatest(floor((90.0 - lat) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    pairs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    if dialect == "spark":
+        structs = ", ".join(
+            "named_struct('dx', CAST({0} AS BIGINT), 'dy', CAST({1} AS"
+            " BIGINT))".format(dx, dy)
+            for dx, dy in pairs
+        )
+        off_rel = f"(SELECT inline(array({structs})))"
+    else:
+        offsets = ", ".join(f"({dx}, {dy})" for dx, dy in pairs)
+        off_rel = (
+            "(SELECT CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy"
+            f" FROM (VALUES {offsets}) t(dx, dy))"
+        )
+    return f"""
+    WITH grid AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT {cx} AS cx, {cy} AS cy FROM ({base}))
+                  GROUP BY cx, cy),
+         ring AS (SELECT g.cx + o.dx AS cx, g.cy + o.dy AS cy,
+                         g.n AS contrib
+                  FROM grid g, {off_rel} o)
+    SELECT r.cx, r.cy,
+           coalesce(g.n, 0) AS n_pages,
+           CAST(sum(r.contrib) AS BIGINT) AS ring_sum,
+           CAST(count(*) AS BIGINT) AS ring_n,
+           CAST(floor(1000.0 * sum(r.contrib) / count(*)) AS BIGINT)
+             AS smoothed_milli
+    FROM ring r LEFT JOIN grid g ON g.cx = r.cx AND g.cy = r.cy
+    GROUP BY r.cx, r.cy, g.n
+    ORDER BY smoothed_milli DESC, r.cx, r.cy LIMIT 20
+    """
+
+
+@register("cell_ring_smoothing", _ring_smooth_sql("duckdb"))
+def q_cell_ring_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3×3-ring-smoothed grid cells (see _ring_smooth_sql)."""
+    return _sql_query(
+        spark, sf_dir, _ring_smooth_sql("spark"), repartition=True
+    )
+
+
+def _cross_source_dup_sql(dialect: str) -> str:
+    """Exact-duplicate groups that SPAN sources — the contamination-style
+    dedup analytic (same bytes syndicated across crawls/sources). One
+    md5 groupBy; integer outputs only."""
+    return """
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source_groups,
+           CAST(sum(CASE WHEN n_sources > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_docs_in_cross,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs_total
+    FROM (SELECT md5(text) AS h,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 count(DISTINCT source) AS n_sources
+          FROM documents GROUP BY h)
+    """
+
+
+@register("cross_source_dup_rate", _cross_source_dup_sql("duckdb"))
+def q_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup group stats split by whether the group spans >1 source
+    (see _cross_source_dup_sql)."""
+    return _sql_query(
+        spark, sf_dir, _cross_source_dup_sql("spark"), repartition=True
+    )
+
+
+def _unigram_logprob_sql(dialect: str) -> str:
+    """Unigram log-probability quality proxy (the KenLM-lite filter):
+    corpus unigram counts → per-doc mean −ln p(token), floored to milli
+    units per doc before the per-lang rollup (irrational ln values sit
+    ~1e13 ulps from milli boundaries, so the floor is engine-stable).
+    Scale shape: token counts are one hash agg; the re-score is a
+    broadcast-join of the count relation against exploded tokens (at web
+    scale: the counted vocab relation shuffles once, O(vocab), and docs
+    re-score map-side)."""
+    from geografir_spark.operators.text import tokens_expr
+
+    toks = tokens_expr("text", dialect)
+    if dialect == "spark":
+        tok_rows = (
+            "SELECT doc_id, lang, tok FROM documents"
+            f" LATERAL VIEW explode({toks}) AS tok"
+        )
+    else:
+        tok_rows = f"SELECT doc_id, lang, unnest({toks}) AS tok FROM documents"
+    return f"""
+    WITH tr AS ({tok_rows}),
+         tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tr
+                GROUP BY tok),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+         ds AS (SELECT tr.doc_id, tr.lang,
+                       CAST(floor(1000.0 * avg(ln(CAST(tot.n AS DOUBLE)
+                                                  / CAST(tc.c AS DOUBLE))))
+                            AS BIGINT) AS nll_milli
+                FROM tr JOIN tc ON tc.tok = tr.tok, tot
+                GROUP BY tr.doc_id, tr.lang)
+    SELECT lang, count(*) AS n_docs,
+           CAST(min(nll_milli) AS BIGINT) AS min_nll,
+           CAST(max(nll_milli) AS BIGINT) AS max_nll,
+           CAST(sum(nll_milli) AS BIGINT) AS sum_nll
+    FROM ds GROUP BY lang
+    """
+
+
+@register("unigram_logprob_quality", _unigram_logprob_sql("duckdb"))
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang stats of the per-doc mean unigram −ln p quality score
+    (see _unigram_logprob_sql)."""
+    return _sql_query(
+        spark, sf_dir, _unigram_logprob_sql("spark"), repartition=True,
+        no_generate_filter_inference=True,
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The verification driver hashes only the FIRST 50 entries of ``queries()``
@@ -4833,6 +5132,14 @@ _DRIVER_WINDOW: list[str] = [
     "sequence_packing",
     "rolling_7d_events",
     "cohort_retention",
+    # round-4 additions
+    "stratified_split",
+    "quality_filter_funnel",
+    "token_length_histogram",
+    "xyz_tile_counts",
+    "cell_ring_smoothing",
+    "cross_source_dup_rate",
+    "unigram_logprob_quality",
 ]
 
 
