@@ -285,9 +285,13 @@ def run_headline() -> tuple[dict, dict]:
     # timed late in a long run land in post-load throttle windows): any
     # query reading slower than RETRY_ABOVE seconds is re-timed once and
     # the MIN recorded — one-sided interference can only inflate a reading,
-    # so min-of-2 is the less-biased estimator and the retry doubles cost
-    # only for the handful of slow-or-throttled queries.
-    retry_above = float(os.environ.get("SPARK_GRAFT_RETRY_ABOVE_SEC", "2.0"))
+    # so min-of-2 is the less-biased estimator. r4 (VERDICT r3 #8): the
+    # r2→r3 PIP "regression" (1.03→1.34 s) reproduced as pure sampling
+    # noise — warm samples on a rested host span 1.28-1.88 s with
+    # UNCHANGED pip_join.py — so the threshold drops 2.0→1.0 s: every
+    # non-trivial reading is now min-of-2 (~45 s extra wall at sf0.1 over
+    # the 31 queries in the 1-2 s band).
+    retry_above = float(os.environ.get("SPARK_GRAFT_RETRY_ABOVE_SEC", "1.0"))
     for name, fn in ent.queries().items():
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
