@@ -2750,6 +2750,20 @@ _RRF_K = 60
 _HYBRID_N = 20
 
 
+def _cos_expr(dialect: str) -> str:
+    """Cosine similarity of pvec/tvec array columns, both dialects."""
+    if dialect == "duckdb":
+        return "list_cosine_similarity(pvec, tvec)"
+    return (
+        "aggregate(zip_with(pvec, tvec, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(transform(pvec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x))"
+        " * sqrt(aggregate(transform(tvec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)))"
+    )
+
+
 def _hybrid_sql(dialect: str) -> str:
     """Hybrid retrieval: fuse the lexical (BM25 over text) and semantic
     (exact cosine over embeddings, probe = vec 0) candidate lists with
@@ -2763,17 +2777,7 @@ def _hybrid_sql(dialect: str) -> str:
     from geografir_spark.operators.ranking import bm25_sql
 
     bm = bm25_sql("documents", "doc_id", "text", _BM25_TERMS, dialect, k=_HYBRID_N)
-    if dialect == "duckdb":
-        cos = "list_cosine_similarity(pvec, tvec)"
-    else:
-        cos = (
-            "aggregate(zip_with(pvec, tvec, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
-            " 0.0D, (acc, x) -> acc + x)"
-            " / (sqrt(aggregate(transform(pvec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
-            " 0.0D, (acc, x) -> acc + x))"
-            " * sqrt(aggregate(transform(tvec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
-            " 0.0D, (acc, x) -> acc + x)))"
-        )
+    cos = _cos_expr(dialect)
     # Each candidate list is bounded to ≤ N rows BEFORE ranking: the
     # lexical leg is BM25's top-k output, the semantic leg is cut to top-N
     # by ORDER BY + LIMIT (Spark: TakeOrderedAndProject — a distributed
@@ -2821,15 +2825,62 @@ def _hybrid_sql(dialect: str) -> str:
 def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 lexical list and the exact-
     cosine semantic list — hybrid search, the composition the two
-    retrieval legs exist for (see _hybrid_sql)."""
-    return _sql_query(
-        spark,
-        sf_dir,
-        _hybrid_sql("spark"),
-        views=("documents", "embeddings"),
-        repartition=True,
-        no_generate_filter_inference=True,
+    retrieval legs exist for (see _hybrid_sql).
+
+    Engine shape: each top-N leg is computed ONCE and localCheckpointed
+    (20 rows) before the rank-and-fuse SQL — the theta-join rank
+    references its leg twice, and Spark inlines CTEs, so the single-
+    statement form re-ran BM25 and the cosine scan per reference
+    (measured 2.2 s vs 1.1 s at sf0.1; the DuckDB oracle keeps the
+    single statement — it materializes CTEs)."""
+    from geografir_spark.operators.ranking import bm25_sql
+    from geografir_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    for v in ("documents", "embeddings"):
+        load_table(spark, sf_dir, v).repartition(
+            spark.sparkContext.defaultParallelism
+        ).createOrReplaceTempView(v)
+    # materialize the two corpus-scanning legs once each (20 rows), then
+    # run the bounded rank+fusion tail over the checkpointed views
+    bm = bm25_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, "spark", k=_HYBRID_N
     )
+    lex_top = _without_generate_filter_inference(spark, spark.sql(bm))
+    lex_top.localCheckpoint().createOrReplaceTempView("__lex_top")
+    cos_sql = f"""
+    WITH pv AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+         sem0 AS (SELECT vec_id AS doc_id, {_cos_expr('spark')} AS c
+                  FROM (SELECT vec_id, embedding AS tvec FROM embeddings
+                        WHERE vec_id <> 0), pv)
+    SELECT doc_id, c FROM sem0 ORDER BY c DESC, doc_id LIMIT {_HYBRID_N}
+    """
+    spark.sql(cos_sql).localCheckpoint().createOrReplaceTempView("__sem_top")
+    return spark.sql(f"""
+    WITH lex AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS rnk
+                 FROM __lex_top a JOIN __lex_top b
+                   ON b.score_micro > a.score_micro
+                      OR (b.score_micro = a.score_micro
+                          AND b.doc_id <= a.doc_id)
+                 GROUP BY a.doc_id),
+         sem AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS rnk
+                 FROM __sem_top a JOIN __sem_top b
+                   ON b.c > a.c OR (b.c = a.c AND b.doc_id <= a.doc_id)
+                 GROUP BY a.doc_id),
+         contrib AS (SELECT doc_id,
+                            CAST(floor(1000000.0 / ({_RRF_K} + rnk))
+                                 AS BIGINT) AS c_micro
+                     FROM lex
+                     UNION ALL
+                     SELECT doc_id,
+                            CAST(floor(1000000.0 / ({_RRF_K} + rnk))
+                                 AS BIGINT) AS c_micro
+                     FROM sem)
+    SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS rrf_micro,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """)
 
 
 def _lang_id_sql(dialect: str) -> str:
