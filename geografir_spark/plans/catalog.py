@@ -129,6 +129,36 @@ ICEBERG_CONFS = {
 }
 
 
+def split_snapshot_id(snapshot_id: str, table: "str | None" = None) -> tuple[str, str]:
+    """Canonical Iceberg snapshot-id form is ``table@tag`` — the composite
+    :meth:`IcebergCatalog.snapshot` RECORDS and :meth:`read_snapshot`
+    PARSES (r5, ADVICE: the two methods previously disagreed — snapshot()
+    tagged the raw string while read_snapshot() rpartition'd it, so an id
+    produced by snapshot() read back with an empty table name).
+
+    Returns (table, tag). ``snapshot(table, id)`` accepts either a bare tag
+    or the composite form (whose table part must then match); a bare tag
+    handed to ``read_snapshot`` (table=None) is rejected with the format
+    spelled out."""
+    tbl, sep, tag = snapshot_id.rpartition("@")
+    if not sep:
+        if table is None:
+            raise ValueError(
+                f"Iceberg snapshot ids are 'table@tag'; got {snapshot_id!r} "
+                "with no table part. Use the id returned by snapshot(), or "
+                "pass f'{table}@{tag}'."
+            )
+        return table, snapshot_id
+    if not tbl or not tag:
+        raise ValueError(f"malformed snapshot id {snapshot_id!r}; want 'table@tag'")
+    if table is not None and tbl != table:
+        raise ValueError(
+            f"snapshot id {snapshot_id!r} names table {tbl!r} but was "
+            f"invoked against table {table!r}"
+        )
+    return tbl, tag
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         jvm = spark.sparkContext._jvm  # noqa: SLF001
@@ -169,8 +199,16 @@ class IcebergCatalog(SpatialCatalog):
         super().__init__(spark)
         self.catalog = catalog
 
-    # Production bodies: expressed but unreachable in-sandbox (ctor gates).
+    # Production bodies: expressed but unreachable in-sandbox (ctor gates;
+    # tests/test_catalog.py pins signature parity + the snapshot-id format
+    # contract, NOT these bodies' behavior — they have never executed here).
     def write_table(self, df, table, *, cell_col="cell", n_ranges=None):
+        # honor n_ranges (r5, ADVICE): the manifest binding's n_ranges is
+        # "how many cell-range clusters"; the Iceberg analog is range
+        # clustering before the write so data files carry tight cell-stat
+        # spans for scan-time pruning
+        if n_ranges:
+            df = df.repartitionByRange(n_ranges, cell_col)
         writer = df.sortWithinPartitions(cell_col).writeTo(table).using(
             "iceberg"
         )
@@ -186,18 +224,22 @@ class IcebergCatalog(SpatialCatalog):
         return df
 
     def snapshot(self, table, snapshot_id):
+        # snapshot_id: bare tag or 'table@tag' (split_snapshot_id validates
+        # the table part matches); the tag created is readable back via
+        # read_snapshot(f"{table}@{tag}")
+        _, tag = split_snapshot_id(snapshot_id, table)
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {table}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
         ).first()
         self.spark.sql(
-            f"ALTER TABLE {table} CREATE TAG `{snapshot_id}` "
+            f"ALTER TABLE {table} CREATE TAG `{tag}` "
             f"AS OF VERSION {row['snapshot_id']}"
         )
         return self.spark.sql(f"SELECT count(*) c FROM {table}.files").first()["c"]
 
     def read_snapshot(self, snapshot_id, ranges=None, *, cell_col="cell"):
-        table, _, tag = snapshot_id.rpartition("@")
+        table, tag = split_snapshot_id(snapshot_id)
         df = self.spark.read.option("tag", tag).table(table)
         if ranges:
             cond = " OR ".join(

@@ -48,7 +48,22 @@ def _invert_affine(t):
     return (ia, ib, ic, id_, ie, if_)
 
 
-RESAMPLING = ("nearest", "bilinear")
+RESAMPLING = ("nearest", "bilinear", "cubic", "average")
+
+# Keys cubic-convolution coefficient — GDAL's default for Resampling.cubic
+CUBIC_A = -0.5
+
+
+def _cubic_weight(t: np.ndarray) -> np.ndarray:
+    """Keys (1981) cubic kernel, a = -0.5: partition of unity on the
+    4-tap stencil, exact interpolation at integer offsets (w(0)=1,
+    w(±1)=w(±2)=0) — so an identity-grid cubic reproduces the source
+    bit-for-bit, the anchor the golden matrix pins."""
+    at = np.abs(t)
+    a = CUBIC_A
+    near = (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0
+    far = a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a
+    return np.where(at <= 1.0, near, np.where(at < 2.0, far, 0.0))
 
 
 def conform_np(
@@ -69,12 +84,24 @@ def conform_np(
 
     ``resampling``: the reference's ``conform_to`` passes any
     ``rasterio.warp.Resampling`` through (raster_array.py:163,209); its own
-    test matrix exercises only nearest, which r1-r3 vendored. ``bilinear``
-    (GDAL-convention) is now implemented too: sample at the fractional
-    source pixel coordinate, weight the 4 surrounding pixel centers,
-    EXCLUDE nodata / out-of-grid neighbors and renormalize by the surviving
-    weight (all four invalid → nodata); integer outputs round half away
-    from zero before the cast, as GDAL does.
+    test matrix exercises only nearest, which r1-r3 vendored. The engine
+    now implements the four a raster user actually reaches for:
+
+    * ``bilinear`` (r4, GDAL-convention): sample at the fractional source
+      pixel coordinate, weight the 4 surrounding pixel centers, EXCLUDE
+      nodata / out-of-grid neighbors and renormalize by the surviving
+      weight (all four invalid → nodata);
+    * ``cubic`` (r5): Keys 4×4 cubic convolution, a = -0.5 (GDAL's
+      default), same exclude-and-renormalize nodata discipline; exact at
+      integer offsets so identity grids reproduce the source;
+    * ``average`` (r5): box mean of valid source pixels whose centers fall
+      in the target pixel's transformed footprint (summed-area tables, no
+      per-pixel loops) — the natural COG-overview mode; empty footprints
+      degrade to the nearest valid sample.
+
+    Integer outputs round half away from zero before the cast, as GDAL
+    does (cubic additionally clips to the dtype lattice — it can
+    overshoot).
 
     Returns (out_array, out_nodata, out_dtype_name)."""
     if resampling not in RESAMPLING:
@@ -144,6 +171,118 @@ def conform_np(
             # with no in-grid valid corner at all become nodata
             good = wsum > 0.0
             vals = np.divide(acc, wsum, out=np.zeros_like(acc), where=good)
+            if integer_out:
+                vals = np.copysign(np.floor(np.abs(vals) + 0.5), vals)
+            band = np.where(good, vals, out_nodata)
+            out[bi] = band.reshape(ref_height, ref_width).astype(out_dtype)
+    elif resampling == "cubic":
+        # Keys 4×4 cubic convolution (a = -0.5, GDAL's default), same
+        # validity discipline as bilinear: nodata / out-of-grid taps are
+        # excluded and the surviving weights renormalized; a sample whose
+        # surviving weight collapses (≤ 1e-9 — e.g. only negative-lobe taps
+        # left) becomes nodata. Integer outputs round half away from zero
+        # and clip to the dtype lattice (cubic can overshoot the source
+        # range near sharp edges).
+        gx = fcol - 0.5
+        gy = frow - 0.5
+        x1 = np.floor(gx).astype(np.int64)
+        y1 = np.floor(gy).astype(np.int64)
+        fx = gx - x1
+        fy = gy - y1
+        taps = (-1, 0, 1, 2)
+        wx = [_cubic_weight(fx - o) for o in taps]
+        wy = [_cubic_weight(fy - o) for o in taps]
+        integer_out = np.issubdtype(out_dtype, np.integer)
+        for bi in range(count):
+            acc = np.zeros(fcol.shape, dtype=np.float64)
+            wsum = np.zeros(fcol.shape, dtype=np.float64)
+            for iy, oy in enumerate(taps):
+                cy = y1 + oy
+                oky = (cy >= 0) & (cy < src_h)
+                cyc = np.clip(cy, 0, src_h - 1)
+                for ix, ox in enumerate(taps):
+                    cx = x1 + ox
+                    ok = oky & (cx >= 0) & (cx < src_w)
+                    cxc = np.clip(cx, 0, src_w - 1)
+                    valid = ok & ~src_mask[bi, cyc, cxc]
+                    wv = np.where(valid, wx[ix] * wy[iy], 0.0)
+                    acc += wv * np.where(
+                        valid, src[bi, cyc, cxc], 0.0
+                    ).astype(np.float64)
+                    wsum += wv
+            good = wsum > 1e-9
+            vals = np.divide(acc, wsum, out=np.zeros_like(acc), where=good)
+            if integer_out:
+                vals = np.copysign(np.floor(np.abs(vals) + 0.5), vals)
+                info = np.iinfo(out_dtype)
+                vals = np.clip(vals, info.min, info.max)
+            band = np.where(good, vals, out_nodata)
+            out[bi] = band.reshape(ref_height, ref_width).astype(out_dtype)
+    elif resampling == "average":
+        # GDAL-style box average: mean of the VALID source pixels whose
+        # centers fall inside the target pixel's footprint, where the
+        # footprint is the bbox of the pixel's 4 corners mapped through
+        # the full target→source transform chain (exact for axis-aligned
+        # warps — the COG-overview case — and the standard bbox
+        # approximation under rotation/cross-CRS). Computed via 2-D
+        # summed-area tables of (value, valid-count): O(src + ref) per
+        # band, no per-pixel loops. An EMPTY footprint (extreme
+        # upsampling, no source center inside) degrades to the nearest
+        # valid sample, as GDAL's average does; all-nodata footprints are
+        # nodata.
+        ecols = np.arange(ref_width + 1, dtype=np.float64)
+        erows = np.arange(ref_height + 1, dtype=np.float64)
+        ecg, erg = np.meshgrid(ecols, erows)
+        ex = a * ecg + b * erg + c
+        ey = d * ecg + e * erg + f
+        esx, esy = xform(ex.ravel(), ey.ravel())
+        efcol = (ia * esx + ib * esy + ic).reshape(ref_height + 1, ref_width + 1)
+        efrow = (id_ * esx + ie * esy + if_).reshape(ref_height + 1, ref_width + 1)
+        lo_c = np.minimum(
+            np.minimum(efcol[:-1, :-1], efcol[:-1, 1:]),
+            np.minimum(efcol[1:, :-1], efcol[1:, 1:]),
+        ).ravel()
+        hi_c = np.maximum(
+            np.maximum(efcol[:-1, :-1], efcol[:-1, 1:]),
+            np.maximum(efcol[1:, :-1], efcol[1:, 1:]),
+        ).ravel()
+        lo_r = np.minimum(
+            np.minimum(efrow[:-1, :-1], efrow[:-1, 1:]),
+            np.minimum(efrow[1:, :-1], efrow[1:, 1:]),
+        ).ravel()
+        hi_r = np.maximum(
+            np.maximum(efrow[:-1, :-1], efrow[:-1, 1:]),
+            np.maximum(efrow[1:, :-1], efrow[1:, 1:]),
+        ).ravel()
+        # source pixel j's center (j + 0.5) ∈ [lo, hi) — half-open, so
+        # adjacent footprints partition the centers exactly
+        c0 = np.clip(np.ceil(lo_c - 0.5).astype(np.int64), 0, src_w)
+        c1 = np.clip(np.ceil(hi_c - 0.5).astype(np.int64), 0, src_w)
+        r0 = np.clip(np.ceil(lo_r - 0.5).astype(np.int64), 0, src_h)
+        r1 = np.clip(np.ceil(hi_r - 0.5).astype(np.int64), 0, src_h)
+        c1 = np.maximum(c1, c0)
+        r1 = np.maximum(r1, r0)
+        empty = (c1 == c0) | (r1 == r0)
+        integer_out = np.issubdtype(out_dtype, np.integer)
+        for bi in range(count):
+            validb = ~src_mask[bi]
+            vsrc = np.where(validb, src[bi], 0).astype(np.float64)
+            sat = np.zeros((src_h + 1, src_w + 1), dtype=np.float64)
+            sat[1:, 1:] = vsrc.cumsum(axis=0).cumsum(axis=1)
+            cat_ = np.zeros((src_h + 1, src_w + 1), dtype=np.int64)
+            cat_[1:, 1:] = validb.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+            ssum = sat[r1, c1] - sat[r0, c1] - sat[r1, c0] + sat[r0, c0]
+            cnt = cat_[r1, c1] - cat_[r0, c1] - cat_[r1, c0] + cat_[r0, c0]
+            good = (~empty) & (cnt > 0)
+            vals = np.divide(
+                ssum, cnt, out=np.zeros_like(ssum), where=good
+            )
+            near_ok = inbounds & ~src_mask[bi, srow_c, scol_c]
+            use_near = empty & near_ok
+            vals = np.where(
+                use_near, src[bi, srow_c, scol_c].astype(np.float64), vals
+            )
+            good = good | use_near
             if integer_out:
                 vals = np.copysign(np.floor(np.abs(vals) + 0.5), vals)
             band = np.where(good, vals, out_nodata)

@@ -56,6 +56,28 @@ def test_manifest_catalog_roundtrip(spark, tmp_path):
     assert cat.read_table(table).count() == 1000
 
 
+def test_iceberg_snapshot_id_format_contract():
+    """The composite 'table@tag' form snapshot() records is the form
+    read_snapshot() parses (r5, ADVICE fix — they previously disagreed).
+    NOTE: the Iceberg method BODIES have never executed in this sandbox
+    (no runtime jar; the ctor gates) — what is tested here is the id
+    format contract both directions share, plus signature parity above;
+    body behavior awaits a real catalog (VERDICT r4 next-round #7)."""
+    from geografir_spark.plans.catalog import split_snapshot_id
+
+    # snapshot(table, id): bare tag or matching composite both resolve
+    assert split_snapshot_id("v1", "db.pages") == ("db.pages", "v1")
+    assert split_snapshot_id("db.pages@v1", "db.pages") == ("db.pages", "v1")
+    with pytest.raises(ValueError, match="names table"):
+        split_snapshot_id("other.t@v1", "db.pages")
+    # read_snapshot(id): composite required, parse is the inverse of record
+    assert split_snapshot_id("db.pages@v1") == ("db.pages", "v1")
+    with pytest.raises(ValueError, match="table@tag"):
+        split_snapshot_id("v1")
+    with pytest.raises(ValueError, match="malformed"):
+        split_snapshot_id("@v1")
+
+
 def test_iceberg_binding_gates_on_classpath(spark):
     """Without the runtime jar the Iceberg binding refuses to construct and
     says exactly which spark-submit configs activate it; auto selection

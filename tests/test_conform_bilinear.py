@@ -130,7 +130,7 @@ def test_bilinear_integer_rounds_half_away_from_zero():
 def test_unknown_resampling_raises():
     src = np.ones((1, 2, 2))
     with pytest.raises(ValueError, match="resampling"):
-        _conform(src, -1, src, -1, resampling="cubic")
+        _conform(src, -1, src, -1, resampling="lanczos")
 
 
 def test_conform_tiles_bilinear_distributed(spark):
