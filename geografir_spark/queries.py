@@ -3307,7 +3307,20 @@ def _ngram_jaccard_spark_sql() -> str:
     measurement that motivated the encode: 3× on the refine at sf0.1);
     |A∪B| = |A|+|B|−|A∩B| keeps it one intersect per pair.  The quadratic
     blocked form survives only as the recall oracle in
-    tests/test_jaccard_recall.py."""
+    tests/test_jaccard_recall.py.
+
+    Collision-guard scope (r5, ADVICE low — adjudicated, kept as-is):
+    restricting ``chk`` to candidate docs' tokens would be cheaper in
+    principle (collisions only matter for candidate pairs), but it makes
+    ``cand`` a MULTIPLY-referenced CTE — Spark inlines those, and the LSH
+    pair generator would recompute once per consumer path (this repo's
+    most-measured perf class: minhash signatures cost 65 s when doubled in
+    r2).  The corpus-wide check is one extra map-side partial aggregation
+    over the token stream with no join back to ``cand``; it runs in
+    parallel with the refine and is the cheaper total plan.  The
+    OR-short-circuit never firing on an empty refine result is benign for
+    the same reason the advisor concedes: with zero candidate pairs there
+    is no output a collision could corrupt."""
     from geografir_spark.operators import dedup
 
     cand = dedup.minhash_pairs_sql("documents", "doc_id", "text", "spark")
