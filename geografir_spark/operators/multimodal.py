@@ -2,11 +2,13 @@
 
 Images/audio/video travel as ``binary`` columns with metadata structs; the
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. The actual media decode is STUBBED — the
-codec libraries are not in this environment — behind
-``decode_media`` (NotImplementedError) and ``fake_decode`` (deterministic
-byte-level features), exactly the seam where a real deployment plugs
-Pillow/ffmpeg into the same mapInPandas kernel.
+signatures) is real and tested. ``decode_media`` really decodes the
+uncompressed formats (WAV-PCM / netpbm / BMP / netpbm video streams —
+pure-stdlib codecs in ``media_codecs.py``) and raises NotImplementedError
+for compressed codecs, which need libraries absent from this environment;
+``fake_decode`` (deterministic byte-level features) remains for
+format-agnostic plumbing tests. A real deployment plugs Pillow/ffmpeg into
+the same ``decode_media`` seam and mapInPandas kernel.
 """
 
 from __future__ import annotations
@@ -30,18 +32,21 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode seam — image/audio libs are absent in this environment.
+    """Real decode seam. As of r5 this is a REAL decoder for the
+    uncompressed formats whose public specs need only struct + numpy —
+    RIFF/WAVE PCM audio, netpbm P5/P6 and BI_RGB BMP images, and
+    concatenated-netpbm video streams (see operators/media_codecs.py,
+    round-tripped and spec-layout-tested). Compressed codecs (JPEG/PNG/
+    H.264/Vorbis …) still raise NotImplementedError naming the sniffed
+    codec: entropy decoding genuinely requires codec libraries not present
+    in this environment, and a deployment plugs PIL/soundfile/pyav into
+    this same function while every Spark-side contract (binary in, ndarray
+    out per ``validate_decoded``, called only from Arrow-batched kernels)
+    stays unchanged — the contract tests in tests/test_multimodal.py and
+    tests/test_media_codecs.py run against the real decoder already."""
+    from geografir_spark.operators.media_codecs import decode_media_real
 
-    A deployment replaces this with PIL.Image.open / soundfile / pyav while
-    keeping every Spark-side contract (binary in, ndarray out, called only
-    from Arrow-batched kernels) unchanged. The array a real decoder must
-    return is pinned by ``validate_decoded`` and the contract test in
-    tests/test_multimodal.py — plug the codec in, point the contract test
-    at it, and the whole plumbing stays green unchanged."""
-    raise NotImplementedError(
-        f"media decode for {media_type!r} requires codec libraries not "
-        "present in this environment; use fake_decode for plumbing tests"
-    )
+    return decode_media_real(payload, media_type)
 
 
 #: decoded-array contract per media type: (allowed ndim, allowed dtypes)
