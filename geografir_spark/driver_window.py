@@ -34,6 +34,16 @@ worked around silently. The committed full gate is
 against DuckDB at sf0.01 on every ``pytest`` run — the window never
 substitutes for it.
 
+Fingerprint scheme v2 (r5, same round): module hashes are now the
+TRANSITIVE closure over the package's absolute-import references —
+the first cut hashed only directly-referenced module files, so an edit
+two imports deep (geo/crs.py underneath raster/conform.py) would not
+have re-fingerprinted queries that reference only the importer. The
+scheme change itself does not invalidate green rows, so the manifest was
+migrated in place: semantically-unchanged entries got their v2
+fingerprint recomputed (round preserved), while the 11 genuinely-changed
+queries kept their stale values and remain flagged.
+
 After a driver round, refresh the manifest from the correctness file::
 
     python -m geografir_spark.driver_window --refresh CORRECTNESS_r05.json --round 5
@@ -64,6 +74,13 @@ ANCHORS = (
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _PKG_PATH = re.compile(r"geografir_spark(?:\.[A-Za-z_][A-Za-z0-9_]*)+")
+# `from geografir_spark[.sub] import a, b as c` — the imported names are
+# separate tokens the dotted-path regex can't see; each may itself be a
+# submodule (``from geografir_spark.geo import crs``)
+_FROM_IMPORT = re.compile(
+    r"from\s+(geografir_spark(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+import\s+"
+    r"(\([^)]*\)|[^\n]+)"
+)
 
 _file_sha_cache: dict[str, str] = {}
 _src_cache: dict[object, str] = {}
@@ -110,6 +127,65 @@ def _module_file_sha(modname: str) -> str:
     return digest
 
 
+_closure_cache: dict[str, frozenset] = {}
+_closure_sha_cache: dict[str, str] = {}
+
+
+def module_closure(modname: str) -> frozenset:
+    """Transitive set of geografir_spark modules reachable from ``modname``
+    by textual package references (the package uses absolute imports only,
+    so source text is ground truth and no import execution is needed)."""
+    if modname in _closure_cache:
+        return _closure_cache[modname]
+    import importlib.util
+
+    out: set[str] = set()
+    stack = [modname]
+    while stack:
+        m = stack.pop()
+        if not m or m in out:
+            continue
+        out.add(m)
+        try:
+            spec = importlib.util.find_spec(m)
+            path = spec.origin if spec else None
+        except (ImportError, AttributeError, ValueError):
+            path = None
+        if path and Path(path).exists():
+            text = Path(path).read_text()
+            for dotted in _PKG_PATH.findall(text):
+                r = _resolve_module(dotted)
+                if r and r not in out:
+                    stack.append(r)
+            for base, names in _FROM_IMPORT.findall(text):
+                for token in names.strip("()").split(","):
+                    leaf = token.split("#")[0].split(" as ")[0].strip()
+                    if not leaf.isidentifier():
+                        continue
+                    cand = f"{base}.{leaf}"
+                    if _resolve_module(cand) == cand and cand not in out:
+                        stack.append(cand)
+    frozen = frozenset(out)
+    _closure_cache[modname] = frozen
+    return frozen
+
+
+def _module_closure_sha(modname: str) -> str:
+    """Digest of a module's file AND every geografir_spark module it
+    references, transitively (r5 scheme v2: an edit two imports deep —
+    e.g. geo/crs.py underneath raster/conform.py — must still shift the
+    fingerprints of queries that reference only the importer; the one-level
+    scheme missed exactly that class)."""
+    if modname in _closure_sha_cache:
+        return _closure_sha_cache[modname]
+    parts = sorted(
+        f"{m}:{_module_file_sha(m)}" for m in module_closure(modname)
+    )
+    digest = hashlib.sha256("\n".join(parts).encode()).hexdigest()
+    _closure_sha_cache[modname] = digest
+    return digest
+
+
 _resolve_cache: dict[str, "str | None"] = {}
 
 
@@ -147,7 +223,7 @@ def _dep_closure(src: str, module_globals: dict, seen: set[str],
         # that shifts with ambient import state is not a fingerprint):
         # find_spec works whether or not the module was imported yet.
         name = _resolve_module(dotted)
-        parts.add(f"mod:{name or dotted}:{_module_file_sha(name or dotted)}")
+        parts.add(f"mod:{name or dotted}:{_module_closure_sha(name or dotted)}")
     for ident in set(_IDENT.findall(src)):
         if ident in seen or keyword.iskeyword(ident):
             continue
@@ -157,7 +233,7 @@ def _dep_closure(src: str, module_globals: dict, seen: set[str],
             continue
         if isinstance(val, types.ModuleType):
             if (val.__name__ or "").startswith("geografir_spark"):
-                parts.add(f"mod:{val.__name__}:{_module_file_sha(val.__name__)}")
+                parts.add(f"mod:{val.__name__}:{_module_closure_sha(val.__name__)}")
         elif callable(val):
             owner = getattr(val, "__module__", "") or ""
             if owner == "geografir_spark.queries":
@@ -165,7 +241,7 @@ def _dep_closure(src: str, module_globals: dict, seen: set[str],
                 parts.add(f"fn:{ident}:{sub}")
                 _dep_closure(sub, module_globals, seen, parts)
             elif owner.startswith("geografir_spark"):
-                parts.add(f"mod:{owner}:{_module_file_sha(owner)}")
+                parts.add(f"mod:{owner}:{_module_closure_sha(owner)}")
         elif isinstance(val, (str, int, float, tuple, frozenset)):
             parts.add(f"const:{ident}={val!r}")
 

@@ -77,8 +77,10 @@ def test_transform_identity_and_errors():
     ident = crsmod.get_transform(4326, "epsg:4326")
     x, y = ident([1.0], [2.0])
     assert x[0] == 1.0 and y[0] == 2.0
+    # 27700 (OSGB/Airy) is vendored as of r5 — see tests/test_datum.py
+    assert crsmod.get_transform(4326, 27700) is not None
     with pytest.raises(crsmod.TransformError, match="Unable to create transformer"):
-        crsmod.get_transform(4326, 27700)  # OSGB (Airy ellipsoid) not vendored
+        crsmod.get_transform(4326, 3035)  # LAEA Europe not vendored
 
 
 def test_lcc_2154_projection_origin_and_scale():
