@@ -144,3 +144,47 @@ def test_datum_registry_is_position_vector_signed():
     assert (p.tx, p.ty, p.tz) == (446.448, -125.157, 542.060)
     assert (p.rx, p.ry, p.rz) == (0.1502, 0.2470, 0.8421)
     assert p.s_ppm == -20.4894
+
+
+def test_conform_across_datum_shifted_crs():
+    """Integration: the flagship conform operator through the r5 datum
+    path — a WGS84 lon/lat ramp conformed onto a British National Grid
+    (EPSG:27700) reference tile. The BNG grid covers central England;
+    each output pixel must equal the value of the source pixel whose
+    lon/lat contains the datum-shifted (not merely projected) target
+    center, which this test recomputes independently through the same
+    public transform API the kernel uses internally."""
+    from geografir_spark.raster.conform import conform_np
+
+    # source: 100×100 WGS84 grid over Britain, value = row*100+col
+    src = (np.arange(100 * 100, dtype=np.int32).reshape(1, 100, 100))
+    # affine (a, b, c, d, e, f): x = a*col + c, y = e*row + f
+    src_transform = (0.1, 0.0, -6.0, 0.0, -0.1, 59.0)
+    # reference: 20×20 BNG tile, 5 km pixels, covering ~(400k,300k)
+    ref_transform = (5000.0, 0.0, 380000.0, 0.0, -5000.0, 350000.0)
+    ref_mask = np.zeros((1, 20, 20), dtype=bool)
+    out, nod, dt = conform_np(
+        src, src_transform, "EPSG:4326", -1,
+        ref_mask, ref_transform, "EPSG:27700", 20, 20,
+    )
+    assert out.shape == (1, 20, 20) and (out != -1).all()
+    # independent expectation via the public transform
+    f = get_transform(27700, 4326)
+    cols = np.arange(20) + 0.5
+    rows = np.arange(20) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    x = 5000.0 * cg + 380000.0
+    y = -5000.0 * rg + 350000.0
+    lon, lat = f(x.ravel(), y.ravel())
+    sc = np.floor((lon - (-6.0)) / 0.1).astype(int)
+    sr = np.floor((59.0 - lat) / 0.1).astype(int)
+    expect = (sr * 100 + sc).reshape(20, 20)
+    np.testing.assert_array_equal(out[0], expect)
+    # and the datum shift is load-bearing: a no-datum (projection-only)
+    # expectation computed by zeroing the Helmert must differ somewhere
+    import geografir_spark.geo.crs as crsmod
+    bng = crsmod._bng_params()
+    lam2, phi2 = crsmod.tm_inverse(x.ravel(), y.ravel(), **bng)
+    sc2 = np.floor((lam2 - (-6.0)) / 0.1).astype(int)
+    sr2 = np.floor((59.0 - phi2) / 0.1).astype(int)
+    assert ((sc2 != sc) | (sr2 != sr)).any()
