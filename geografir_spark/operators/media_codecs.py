@@ -276,6 +276,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     stripped; negative biHeight = top-down honored)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError(f"truncated BMP header: {len(payload)} bytes < 54")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
     if hdr_size < 40:
@@ -336,12 +338,31 @@ _DECODERS = {
 }
 
 
+#: which sniffed codecs are legitimate carriers of each declared modality
+_MODALITY_CODECS = {
+    "audio": ("wav",),
+    "image": ("pgm", "ppm", "bmp"),
+    "video": ("pgm", "ppm"),  # netpbm frame streams (image2pipe framing)
+}
+
+
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
     """Sniff + decode a payload to its DECODED_CONTRACT array. Video
     accepts netpbm streams; compressed/unknown codecs raise
     NotImplementedError naming what was sniffed (those genuinely require
-    codec libraries this environment lacks)."""
+    codec libraries this environment lacks). A DECODABLE codec whose
+    modality contradicts ``media_type`` (a WAV labeled 'image') raises
+    ValueError immediately — silently returning a wrong-modality array to
+    a direct caller of the seam would defer the failure to whoever shapes
+    the result (r5 self-review finding #4)."""
     codec = sniff_codec(payload)
+    known = {c for cs in _MODALITY_CODECS.values() for c in cs}
+    if codec in known and codec not in _MODALITY_CODECS.get(media_type, ()):
+        raise ValueError(
+            f"payload sniffs as {codec!r}, which does not carry "
+            f"media_type {media_type!r} (valid: "
+            f"{_MODALITY_CODECS.get(media_type, ())})"
+        )
     if media_type == "video":
         if codec in ("ppm", "pgm"):
             return decode_netpbm_stream(payload)
@@ -379,6 +400,10 @@ def probe_media(payload: bytes) -> dict:
             "height": h, "duration_ms": None,
         }
     if codec == "bmp":
+        if len(payload) < 26:
+            raise ValueError(
+                f"truncated BMP header: {len(payload)} bytes < 26"
+            )
         w, h_signed = struct.unpack_from("<ii", payload, 18)
         return {
             "media_type": "image", "codec": codec, "width": w,

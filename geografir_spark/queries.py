@@ -5174,7 +5174,9 @@ from geografir_spark import driver_window as _dw
 
 
 def _reorder_registry() -> None:
-    ordered_names = _dw.derive_window(QUERIES, globals())
+    # strict=False: an overflowing changed set must warn, not make the
+    # package unimportable (the tripwire test runs strict=True)
+    ordered_names = _dw.derive_window(QUERIES, globals(), strict=False)
     ordered = {n: QUERIES[n] for n in ordered_names}
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -194,3 +194,47 @@ def _query_module_refs(name, qdef, g):
     fn = getattr(qdef.fn, "__orig_fn__", qdef.fn)
     dw._dep_closure(dw._getsource(fn), g, seen, parts)
     return {p.split(":")[1] for p in parts if p.startswith("mod:")}
+
+
+def test_list_constants_enter_fingerprint(monkeypatch):
+    """r5 self-review finding #2: list/dict module constants decide query
+    semantics (_TAG_COLORS is interpolated into band_tags_invert's SQL) —
+    editing one must shift the fingerprint."""
+    g = dict(vars(qmod))
+    name = "band_tags_invert"
+    before = query_fingerprint(name, qmod.QUERIES[name], g)
+    assert isinstance(g.get("_TAG_COLORS"), (list, tuple))
+    g["_TAG_COLORS"] = list(g["_TAG_COLORS"]) + ["chartreuse"]
+    assert query_fingerprint(name, qmod.QUERIES[name], g) != before
+
+
+def test_stable_repr_is_process_independent():
+    """Set iteration order is PYTHONHASHSEED-randomized and default
+    object reprs embed memory addresses — both re-flagged all 109 queries
+    in a fresh interpreter before _stable_repr canonicalized them."""
+    from geografir_spark.driver_window import _stable_repr
+
+    assert _stable_repr({"b", "a", "c"}) == _stable_repr({"c", "a", "b"})
+    assert "0x" not in _stable_repr({"k": test_stable_repr_is_process_independent})
+    assert _stable_repr([1, (2.5, "x"), None, b"y"]) == "[1, (2.5, 'x'), None, b'y']"
+    assert _stable_repr({"z": 1, "a": 2}) == _stable_repr(dict([("a", 2), ("z", 1)]))
+
+
+def test_derive_window_nonstrict_degrades_to_warning():
+    """r5 self-review finding #1: the overflow check must not brick the
+    import path (it deadlocked its own manifest-refresh recovery CLI).
+    strict=True raises for the CI tripwire; strict=False warns and still
+    returns a changed-first ordering."""
+    import warnings as _w
+
+    import pytest
+
+    g = vars(qmod)
+    empty_manifest = {}  # everything counts as changed -> guaranteed overflow
+    with pytest.raises(RuntimeError, match="exceed"):
+        derive_window(qmod.QUERIES, g, empty_manifest)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        order = derive_window(qmod.QUERIES, g, empty_manifest, strict=False)
+    assert any("exceed" in str(r.message) for r in rec)
+    assert len(order) == len(qmod.QUERIES)

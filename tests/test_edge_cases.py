@@ -91,22 +91,43 @@ def test_knn_straggler_no_cartesian(spark, monkeypatch):
     assert [r["tid"] for r in got] == [0, 1, 2]  # nearest-first by distance
 
 
-def test_knn_disk_budget_raises_not_explodes(spark):
-    """Past the explode budget the operator raises with straggler
-    diagnostics (hull max_candidates idiom) instead of minting 2^(2 res)
-    cells per straggler."""
-    import pytest as _pytest
-
+def test_knn_disk_budget_skips_to_bucketed_coverage(spark):
+    """A ring whose explode would blow max_disk_cells skips straight to
+    the terminal full-coverage round, which replicates stragglers over
+    bucket keys instead of minting 2^(2 res) cells per straggler (r5:
+    previously this raised; the terminal round's grid explode was the
+    reason). Results stay exact and the plan stays an equi-join."""
     from geografir_spark.operators.knn import knn_join
 
     qs = spark.createDataFrame(
         [(1, -170.0, -80.0)], "qid bigint, qx double, qy double"
     )
     ts = spark.createDataFrame(
-        [(7, 150.0, 70.0)], "tid bigint, tx double, ty double"
+        [(7, 150.0, 70.0), (8, 150.5, 70.0), (9, 151.0, 70.5)],
+        "tid bigint, tx double, ty double",
     )
-    with _pytest.raises(RuntimeError, match="max_disk_cells"):
-        knn_join(qs, ts, k=3, res=6, max_disk_cells=1000)
+    out = knn_join(qs, ts, k=2, res=6, max_disk_cells=1000,
+                   coverage_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["tid"] for r in got] == [7, 8]  # exact nearest-first
+
+
+def test_knn_max_rounds_deprecation_warns(spark):
+    import pytest as _pytest
+
+    from geografir_spark.operators.knn import knn_join
+
+    qs = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "qid bigint, qx double, qy double"
+    )
+    ts = spark.createDataFrame(
+        [(7, 1.0, 1.0)], "tid bigint, tx double, ty double"
+    )
+    with _pytest.warns(DeprecationWarning, match="max_rounds"):
+        knn_join(qs, ts, k=1, res=4, max_rounds=3)
 
 
 def test_dedup_on_empty_documents(spark):

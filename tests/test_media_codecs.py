@@ -245,3 +245,30 @@ def test_real_decoder_distributed_through_decoded_stats(spark):
     plan = decoded_stats(df, decode_media)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_mislabeled_modality_raises_not_wrong_shape():
+    """r5 self-review finding #4: a decodable codec whose modality
+    contradicts the declared media_type must error at the seam, not hand
+    back a wrong-modality array for downstream code to choke on."""
+    wav = encode_wav(np.zeros(8, dtype=np.int16))
+    img = encode_netpbm(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="does not carry"):
+        decode_media_real(wav, "image")
+    with pytest.raises(ValueError, match="does not carry"):
+        decode_media_real(img, "audio")
+    with pytest.raises(ValueError, match="does not carry"):
+        decode_media_real(wav, "video")
+    # bmp is image-only, not a video frame stream
+    bmp = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="does not carry"):
+        decode_media_real(bmp, "video")
+
+
+def test_truncated_bmp_is_valueerror_not_struct_error():
+    """r5 self-review finding #6: truncated payloads sniffing as BMP must
+    fail with the module's ValueError contract, not raw struct.error."""
+    with pytest.raises(ValueError, match="truncated BMP"):
+        probe_media(b"BM\x00\x01")
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(b"BM" + b"\x00" * 20)
