@@ -142,21 +142,23 @@ def main() -> None:
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     media = synthesize_media(docs).repartition(8).localCheckpoint()
 
-    # exact payload dedup BEFORE any decode — byte-identical media
-    # collapses on a map-side hash, the cheapest stage first
+    # exact payload dedup BEFORE any decode — the window partitions on the
+    # payload BYTES themselves (not a 64-bit hash, whose collisions would
+    # silently drop distinct media), then localCheckpoint: the deduped set
+    # feeds ~6 downstream actions and must not recompute per action
     deduped = (
-        media.withColumn("__h", F.xxhash64("payload"))
-        .withColumn(
+        media.withColumn(
             "__r",
             F.row_number().over(
-                Window.partitionBy("__h").orderBy("page_id")
+                Window.partitionBy("payload").orderBy("page_id")
             ),
         )
         .where(F.col("__r") == 1)
-        .drop("__h", "__r")
+        .drop("__r")
+        .localCheckpoint()
     )
 
-    meta = probe(deduped)
+    meta = probe(deduped).localCheckpoint()
     stats = decoded_stats(deduped, decode_media)
     frames = sample_frames(
         deduped.where(F.col("media_type") == "video"),

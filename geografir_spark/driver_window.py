@@ -219,14 +219,17 @@ def _stable_repr(val) -> str:
     reach this via ``register``'s source) default-repr with memory
     addresses — degraded to a bare type placeholder, since their SEMANTIC
     content is already fingerprinted through the fn/oracle parts."""
+    # every container form carries its concrete type name: set vs
+    # frozenset vs dict (and empty-{} collisions) must not render
+    # identically, or a type change slips past the fingerprint (r5 review)
     if isinstance(val, (set, frozenset)):
         inner = ", ".join(sorted(_stable_repr(v) for v in val))
-        return f"{{{inner}}}"
+        return f"{type(val).__name__}{{{inner}}}"
     if isinstance(val, dict):
         items = sorted(
             (f"{_stable_repr(k)}: {_stable_repr(v)}" for k, v in val.items())
         )
-        return "{" + ", ".join(items) + "}"
+        return "dict{" + ", ".join(items) + "}"
     if isinstance(val, (list, tuple)):
         inner = ", ".join(_stable_repr(v) for v in val)
         return f"[{inner}]" if isinstance(val, list) else f"({inner})"

@@ -109,13 +109,29 @@ def knn_join(
         )
     spark = queries.sparkSession
     q = cells.with_cell(queries, qx, qy, res)
-    t = cells.with_cell(targets, tx, ty, res).withColumnRenamed("cell", "__tcell")
-    t = t.persist()
+    # null-coordinate targets are not neighbors of anything — and they are
+    # DANGEROUS, not just useless: the codegen'd cell encode folds nulls
+    # into a garbage-but-non-null cell id, and a NULL distance sorts FIRST
+    # under asc(), so an unfiltered null row that reaches any round's
+    # candidate set displaces the true nearest at rank 1 (r5 review,
+    # live-reproduced). Filter at index time, on the coordinates.
+    t = (
+        cells.with_cell(
+            targets.where(F.col(tx).isNotNull() & F.col(ty).isNotNull()),
+            tx, ty, res,
+        )
+        .withColumnRenamed("cell", "__tcell")
+        .persist()
+    )
     cw, ch = cells.cell_size(res)
     gmin = min(cw, ch)
 
     dist_expr = f"((({qx}) - ({tx})) * (({qx}) - ({tx}))) + ((({qy}) - ({ty})) * (({qy}) - ({ty})))"
-    w = Window.partitionBy(qid).orderBy(F.col("dist").asc(), F.col(tid).asc())
+    # nulls-last is belt-and-braces: null coords are filtered at index
+    # time above, but a NULL dist must never be able to outrank a real one
+    w = Window.partitionBy(qid).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(tid).asc()
+    )
 
     out_cols = queries.columns + [tid, tx, ty, "dist", "rank"]
 
@@ -172,11 +188,30 @@ def knn_join(
         if remaining.isEmpty():
             break
         radius = min(radius * 2, n_cells)
-        if (2 * radius + 1) ** 2 > max_disk_cells:
+        if radius < n_cells and (2 * radius + 1) ** 2 > max_disk_cells:
             # the next ring's explode would blow the budget — skip the
             # intermediate rings and go straight to the bucketed
             # full-coverage round, which is explode-free. (Until r5 this
             # raised; the terminal round's grid explode was the reason.)
+            # The skip is NOT free — the terminal round scans
+            # |stragglers|×|targets| candidates — so it announces itself
+            # with the same diagnostics the old raise carried; a caller
+            # who set the budget low as a cluster guard still gets the
+            # signal (r5 review: never invert a safety knob silently).
+            import warnings
+
+            n_stragglers = remaining.count()  # cheap: localCheckpointed
+            warnings.warn(
+                f"knn_join: ring radius {radius} would explode "
+                f"{(2 * radius + 1) ** 2} cells/query "
+                f"(max_disk_cells={max_disk_cells}); skipping "
+                f"{n_stragglers} straggler queries straight to the "
+                f"bucketed full-coverage round, which scans every "
+                f"target for each straggler. Lower res or raise the "
+                f"budget if the ring path was intended.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             radius = n_cells
 
     out = finals[0]

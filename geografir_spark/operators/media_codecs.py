@@ -102,6 +102,10 @@ def wav_info(payload: bytes) -> dict:
     fmt = data_len = None
     for cid, data in _wav_chunks(payload):
         if cid == b"fmt ":
+            if len(data) < 16:  # spec minimum for PCM fmt
+                raise ValueError(
+                    f"truncated WAV fmt chunk: {len(data)} bytes < 16"
+                )
             audio_fmt, n_ch, rate = struct.unpack_from("<HHI", data, 0)
             bits = struct.unpack_from("<H", data, 14)[0]
             fmt = (audio_fmt, n_ch, rate, bits)

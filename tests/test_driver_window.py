@@ -238,3 +238,13 @@ def test_derive_window_nonstrict_degrades_to_warning():
         order = derive_window(qmod.QUERIES, g, empty_manifest, strict=False)
     assert any("exceed" in str(r.message) for r in rec)
     assert len(order) == len(qmod.QUERIES)
+
+
+def test_stable_repr_distinguishes_container_types():
+    """r5 review: empty dict vs set (and set vs frozenset) must not render
+    identically, or a type change slips past the fingerprint."""
+    from geografir_spark.driver_window import _stable_repr
+
+    forms = [_stable_repr({}), _stable_repr(set()), _stable_repr(frozenset())]
+    assert len(set(forms)) == 3
+    assert _stable_repr({1, 2}) != _stable_repr(frozenset({1, 2}))

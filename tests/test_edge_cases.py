@@ -307,3 +307,39 @@ def test_getis_ord_hotspot_ranks_dense_cluster_first(spark):
     gi = {(r.xi, r.yi): r.gi_star for r in out.itertuples()}
     assert gi[(5, 5)] > gi.get((12, 12), -99)  # beats the isolated heavy cell
     assert top.n_nb == 9 and top.nb_sum == 450
+
+
+def test_knn_null_coordinate_targets_never_surface(spark):
+    """r5 review: null-coordinate targets (null cell) were unreachable
+    through the ring equi-joins but xxhash64(NULL) is non-null, so the
+    bucketed terminal round could return them at rank 1 with a null
+    distance. They are filtered at index time now."""
+    from geografir_spark.operators.knn import knn_join
+
+    qs = spark.createDataFrame(
+        [(1, -170.0, -80.0)], "qid bigint, qx double, qy double"
+    )
+    ts = spark.createDataFrame(
+        [(7, 150.0, 70.0), (8, 150.5, 70.0), (9, None, None)],
+        "tid bigint, tx double, ty double",
+    )
+    out = knn_join(qs, ts, k=2, res=6, max_disk_cells=1000,
+                   coverage_buckets=8)
+    got = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["tid"] for r in got] == [7, 8]
+    assert all(r["dist"] is not None for r in got)
+
+
+def test_knn_budget_skip_warns_with_straggler_count(spark):
+    import pytest as _pytest
+
+    from geografir_spark.operators.knn import knn_join
+
+    qs = spark.createDataFrame(
+        [(1, -170.0, -80.0)], "qid bigint, qx double, qy double"
+    )
+    ts = spark.createDataFrame(
+        [(7, 150.0, 70.0)], "tid bigint, tx double, ty double"
+    )
+    with _pytest.warns(RuntimeWarning, match="1 straggler"):
+        knn_join(qs, ts, k=1, res=6, max_disk_cells=1000).collect()

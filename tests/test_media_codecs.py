@@ -272,3 +272,17 @@ def test_truncated_bmp_is_valueerror_not_struct_error():
         probe_media(b"BM\x00\x01")
     with pytest.raises(ValueError, match="truncated BMP"):
         decode_bmp(b"BM" + b"\x00" * 20)
+
+
+def test_truncated_wav_fmt_is_valueerror_not_struct_error():
+    """r5 review: the malformed-input ValueError contract must cover WAV
+    fmt-chunk truncation too, not only BMP headers."""
+    short_fmt = b"\x00" * 4
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+    body += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        wav_info(payload)
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_wav(payload)
+    assert probe_media(b"????")["codec"] == "unknown"  # probe still benign
