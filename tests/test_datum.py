@@ -127,8 +127,8 @@ def test_geographic_datum_codes_via_get_transform():
     # same point as the 27700 path (shared Helmert): consistent to ~1e-9
     g = get_transform(27700, 4326)
     lo2, la2 = g(OS_E, OS_N)
-    assert abs(float(lo) - float(lo2)) < 1e-7
-    assert abs(float(la) - float(la2)) < 1e-7
+    assert abs(float(lo[0]) - float(lo2)) < 1e-7
+    assert abs(float(la[0]) - float(la2)) < 1e-7
     # vectorization preserved
     many = f(np.full(50, OS_LAM), np.full(50, OS_PHI))
     assert many[0].shape == (50,)
