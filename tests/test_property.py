@@ -252,3 +252,96 @@ def test_compact_uncompact_property(points, res):
     assert len(compacted) <= len(cells_set)
     back = uncompact_np(compacted, res)
     np.testing.assert_array_equal(back, np.sort(cells_set))
+
+
+# --- r5 surfaces: media codecs, datum transforms, fingerprint repr ----------
+
+
+@given(
+    st.integers(min_value=1, max_value=40),   # h
+    st.integers(min_value=1, max_value=40),   # w
+    st.sampled_from([1, 3]),                  # channels
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_netpbm_roundtrip_property(h, w, c, seed):
+    from geografir_spark.operators.media_codecs import (
+        decode_netpbm, encode_netpbm,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    out = decode_netpbm(encode_netpbm(img if c == 3 else img[:, :, 0]))
+    np.testing.assert_array_equal(out, img)
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    from geografir_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=2000),  # n samples
+    st.sampled_from([1, 2, 4]),                # channels
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, seed):
+    from geografir_spark.operators.media_codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed % (2**31))
+    samples = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    out = decode_wav(encode_wav(samples, sample_rate=16000))
+    np.testing.assert_array_equal(out, samples)
+
+
+@given(
+    st.floats(min_value=-7.5, max_value=1.8, allow_nan=False),   # Britain lon
+    st.floats(min_value=49.8, max_value=60.8, allow_nan=False),  # Britain lat
+)
+@settings(max_examples=60, deadline=None)
+def test_bng_roundtrip_property(lon, lat):
+    """EPSG:4326 → 27700 → 4326 over the BNG region of use: the full
+    projection+datum pipeline must invert to <1e-6° (~10 cm)."""
+    from geografir_spark.geo.crs import get_transform
+
+    f = get_transform(4326, 27700)
+    g = get_transform(27700, 4326)
+    lon2, lat2 = g(*f(np.asarray([lon]), np.asarray([lat])))
+    assert abs(float(lon2[0]) - lon) < 1e-6
+    assert abs(float(lat2[0]) - lat) < 1e-6
+
+
+@given(st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(), st.text(max_size=8),
+              st.binary(max_size=8)),
+    lambda leaf: st.one_of(
+        st.lists(leaf, max_size=4),
+        st.frozensets(st.integers(), max_size=4),
+        st.dictionaries(st.text(max_size=4), leaf, max_size=4),
+    ),
+    max_leaves=10,
+))
+@settings(max_examples=80, deadline=None)
+def test_stable_repr_total_and_deterministic(val):
+    """_stable_repr must never raise and must be equal for equal values
+    regardless of construction/iteration order (the PYTHONHASHSEED and
+    memory-address instabilities are pinned separately in
+    test_driver_window.py)."""
+    from geografir_spark.driver_window import _stable_repr
+
+    r1 = _stable_repr(val)
+    assert isinstance(r1, str)
+    if isinstance(val, dict):
+        assert _stable_repr(dict(reversed(list(val.items())))) == r1
+    if isinstance(val, frozenset):
+        assert _stable_repr(frozenset(sorted(val, reverse=True))) == r1
