@@ -12,8 +12,9 @@ pure-stdlib codecs (operators/media_codecs.py) inside Arrow kernels:
                      per-item shape/dtype/n_elems/value_sum
 4.  frame sample   — evenly-spaced frame rows from each video payload,
                      nearest-resized feature maps
-5.  dedup          — exact payload dedup via xxhash64 (byte-identical
-                     media collapses before any expensive decode)
+5.  dedup          — exact payload dedup partitioned on the payload BYTES
+                     (byte-identical media collapses before any expensive
+                     decode; no hash-collision risk)
 6.  write          — parquet with the binary column + metadata struct
 
 Run locally:

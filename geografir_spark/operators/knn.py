@@ -108,13 +108,18 @@ def knn_join(
             stacklevel=2,
         )
     spark = queries.sparkSession
-    q = cells.with_cell(queries, qx, qy, res)
-    # null-coordinate targets are not neighbors of anything — and they are
-    # DANGEROUS, not just useless: the codegen'd cell encode folds nulls
-    # into a garbage-but-non-null cell id, and a NULL distance sorts FIRST
-    # under asc(), so an unfiltered null row that reaches any round's
-    # candidate set displaces the true nearest at rank 1 (r5 review,
-    # live-reproduced). Filter at index time, on the coordinates.
+    # null-coordinate rows are filtered on BOTH sides at index time — they
+    # are DANGEROUS, not just useless: the codegen'd cell encode folds
+    # nulls into a garbage-but-non-null cell id, and a NULL distance sorts
+    # FIRST under asc(), so an unfiltered null target displaces the true
+    # nearest at rank 1 (r5 review, live-reproduced), while a null QUERY
+    # never satisfies the done-check (NULL <= guarantee) and would ride to
+    # the terminal round to be emitted with k meaningless NULL-dist rows.
+    # An unlocatable query gets zero output rows, symmetrically.
+    q = cells.with_cell(
+        queries.where(F.col(qx).isNotNull() & F.col(qy).isNotNull()),
+        qx, qy, res,
+    )
     t = (
         cells.with_cell(
             targets.where(F.col(tx).isNotNull() & F.col(ty).isNotNull()),
@@ -122,7 +127,7 @@ def knn_join(
         )
         .withColumnRenamed("cell", "__tcell")
         .persist()
-    )
+    )  # released via t.unpersist() before return
     cw, ch = cells.cell_size(res)
     gmin = min(cw, ch)
 
@@ -217,4 +222,8 @@ def knn_join(
     out = finals[0]
     for f in finals[1:]:
         out = out.unionByName(f)
+    # every round's output is eagerly localCheckpoint-materialized, so the
+    # cached target index is dead here — release it instead of leaking a
+    # full indexed copy of targets per call until LRU eviction (r5 review)
+    t.unpersist()
     return out

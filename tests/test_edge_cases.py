@@ -343,3 +343,22 @@ def test_knn_budget_skip_warns_with_straggler_count(spark):
     )
     with _pytest.warns(RuntimeWarning, match="1 straggler"):
         knn_join(qs, ts, k=1, res=6, max_disk_cells=1000).collect()
+
+
+def test_knn_null_coordinate_queries_emit_zero_rows(spark):
+    """Symmetric to the null-target fix: an unlocatable query (null
+    coords) gets ZERO output rows, never k garbage NULL-distance rows
+    minted by the terminal round."""
+    from geografir_spark.operators.knn import knn_join
+
+    qs = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, None, None)],
+        "qid bigint, qx double, qy double",
+    )
+    ts = spark.createDataFrame(
+        [(7, 10.5, 10.0), (8, 11.0, 10.0)],
+        "tid bigint, tx double, ty double",
+    )
+    out = knn_join(qs, ts, k=2, res=6).collect()
+    assert sorted(r["qid"] for r in out) == [1, 1]
+    assert all(r["dist"] is not None for r in out)
