@@ -266,3 +266,41 @@ def run_tile_pyramid_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def media_stream(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming media relation from a directory of parquet batches of
+    (id, media_type, payload binary) rows — the arrival feed of a
+    multimodal crawl (Spark's ``binaryFile`` source is batch-only, so the
+    raw objects are framed into parquet batches upstream, the same
+    Kafka/Iceberg stand-in as ``pages_stream``)."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def stream_media_stats(
+    media: DataFrame,
+    decoder=None,
+    *,
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Streaming decode: the UNCHANGED ``decoded_stats`` Arrow kernel
+    (operators/multimodal.py) applied to a streaming media relation —
+    mapInPandas is stateless, so each microbatch decodes with the real
+    codecs (WAV/netpbm/BMP, operators/media_codecs.py) under the batch
+    plan, and the streaming checkpoint's file log gives exactly-once
+    per-file decode across restarts. Stream output is row-identical to a
+    batch ``decoded_stats`` over the same files (pinned in
+    tests/test_streaming.py)."""
+    from geografir_spark.operators.multimodal import decode_media, decoded_stats
+
+    return decoded_stats(media, decoder or decode_media, id_col=id_col)

@@ -374,3 +374,59 @@ def test_stream_tile_pyramid_matches_batch_and_resumes(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 4                      # no duplicates from replay
     assert got2.select("cell").distinct().count() == 4
+
+
+def test_stream_media_decode_matches_batch_then_resumes(spark, tmp_path):
+    """Streaming multimodal ingest (r5): parquet batches of binary media
+    payloads decoded by the real pure-stdlib codecs inside the unchanged
+    decoded_stats Arrow kernel. The drained stream equals a batch run over
+    the same files, and a resume after a new batch lands processes ONLY
+    the new file (exactly-once via the checkpoint file log)."""
+    import numpy as np
+    import pandas as pd
+
+    from geografir_spark.operators.media_codecs import (
+        encode_netpbm, encode_wav,
+    )
+    from geografir_spark.operators.multimodal import decode_media, decoded_stats
+    from geografir_spark.streaming.ingest import (
+        media_stream, run_available_now, stream_media_stats,
+    )
+
+    src = tmp_path / "media_in"
+    out = tmp_path / "media_out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def batch_file(path, rows):
+        pd.DataFrame(
+            rows, columns=["page_id", "media_type", "payload"]
+        ).to_parquet(path)
+
+    wav = lambda seed: encode_wav(
+        (np.arange(100) * seed % 199 - 99).astype(np.int16), 8000)
+    img = lambda seed: encode_netpbm(
+        (np.arange(27) * seed % 251).astype(np.uint8).reshape(3, 3, 3))
+    batch_file(src / "b0.parquet",
+               [(1, "audio", wav(3)), (2, "image", img(5))])
+    batch_file(src / "b1.parquet",
+               [(3, "audio", wav(7)), (4, "image", img(11))])
+
+    run_available_now(
+        stream_media_stats(media_stream(spark, str(src))),
+        out_dir=str(out), checkpoint_dir=str(ckpt),
+    )
+    got = spark.read.parquet(str(out))
+    batch = decoded_stats(spark.read.parquet(str(src)), decode_media)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect()))
+
+    # a new batch arrives; the resumed drain decodes ONLY the new rows
+    batch_file(src / "b2.parquet", [(5, "image", img(13))])
+    run_available_now(
+        stream_media_stats(media_stream(spark, str(src))),
+        out_dir=str(out), checkpoint_dir=str(ckpt),
+    )
+    got2 = spark.read.parquet(str(out))
+    assert got2.count() == 5  # 4 old (not re-decoded/duplicated) + 1 new
+    assert sorted(r["page_id"] for r in got2.collect()) == [1, 2, 3, 4, 5]
